@@ -1,0 +1,26 @@
+"""hyperpri_tpu — a TPU-native hyperspectral root-segmentation framework.
+
+A from-scratch JAX/Flax/Pallas rebuild of the capabilities of
+GatorSense/HyperPRI (reference: /root/reference): three binary-segmentation
+model families (UNet on RGB, SpectralUNET and CubeNET on 238-band
+hyperspectral cubes), the HyperPRI ENVI data pipeline, the 5-fold
+cross-validation training/evaluation protocol, threshold sweeps, and
+segmentation-map rendering — re-designed TPU-first:
+
+- NHWC layouts, bf16 compute with f32 params, static shapes under jit.
+- CubeNET's depth-238 Conv3d front end is lowered to a single MXU 3x3
+  conv with 238 input channels (mathematically identical).
+- SpectralUNET's per-pixel MLP is a batched (N*H*W, C) matmul stack on
+  the MXU instead of the reference's per-image Python loop
+  (reference: src/Experiments/models.py:132).
+- Distribution is SPMD over a jax.sharding.Mesh (data + spatial axes);
+  XLA GSPMD inserts ICI collectives and conv halo exchanges from
+  sharding annotations — replacing Lightning DDP / DeepSpeed ZeRO-2
+  (reference: src/PLTrainer.py:409-453).
+"""
+
+__version__ = "0.1.0"
+
+from hyperpri_tpu.models import UNet, SpectralUNET, CubeNET, initialize_model
+
+__all__ = ["UNet", "SpectralUNET", "CubeNET", "initialize_model", "__version__"]

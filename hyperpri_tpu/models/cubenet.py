@@ -1,0 +1,118 @@
+"""CubeNET: 3D-conv spectral front end + wide (C=128) U-Net body.
+
+Behavioral parity target: /root/reference/src/Experiments/models.py:148-247
+(Conv3d(1, first_depth, kernel=(238,3,3), padding=(0,1,1)) collapses the full
+spectral depth in one step, reshape to 2D, inc2 Conv+BN+ReLU, then a U-Net at
+C=128; 31,178,881 params at hsi_depth=238, first_depth=64, bilinear=False).
+
+TPU-first redesign: a Conv3d over the *entire* depth with no depth padding is
+mathematically identical to a 2D 3x3 convolution with `hsi_depth` input
+channels — weight[o, 1, d, kh, kw] <-> weight2d[kh, kw, d, o]. In NHWC that is
+a single MXU-friendly conv (contraction size 238*9 = 2142), so no 3D
+convolution, no reshape, and no wasted depth dimension ever exist on device.
+
+Input:  (N, H, W, hsi_depth) NHWC.
+Output: (N, H, W, n_classes) logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hyperpri_tpu.models.parts import (
+    BN_EPS,
+    BN_MOMENTUM,
+    DoubleConv,
+    Down,
+    OutConv,
+    Up,
+    pad_to_match,
+    upsample2x_align_corners,
+)
+
+
+class CubeNET(nn.Module):
+    hsi_depth: int = 238
+    n_classes: int = 1
+    first_depth: int = 64
+    bilinear: bool = True
+    use_attention: bool = False
+    analyze: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+        if x.shape[-1] != self.hsi_depth:
+            raise ValueError(
+                f"CubeNET expects {self.hsi_depth} bands (NHWC), got shape {x.shape}"
+            )
+        factor = 2 if self.bilinear else 1
+        fd = self.first_depth
+        c = 128
+
+        x = x.astype(self.dtype)
+        # Spectral collapse: Conv3d(1, fd, (D,3,3), pad (0,1,1)) == 2D conv
+        # with D input channels (reference models.py:169).
+        x1 = nn.Conv(fd, (3, 3), padding="SAME", dtype=self.dtype, name="first_conv")(x)
+        x1 = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=jnp.float32,
+            name="first_bn",
+        )(x1)
+        x1 = nn.relu(x1).astype(self.dtype)
+        # inc2: single Conv+BN+ReLU to "match UNET's starter DoubleConv"
+        # (reference models.py:176-180).
+        x1 = nn.Conv(fd, (3, 3), padding="SAME", dtype=self.dtype, name="inc2_conv")(x1)
+        x1 = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=jnp.float32,
+            name="inc2_bn",
+        )(x1)
+        x1 = nn.relu(x1).astype(self.dtype)
+
+        x2 = Down(c, dtype=self.dtype, name="down1")(x1, train=train)
+        x3 = Down(c * 2, dtype=self.dtype, name="down2")(x2, train=train)
+        x4 = Down(c * 4, dtype=self.dtype, name="down3")(x3, train=train)
+        x5 = Down(c * 8 // factor, dtype=self.dtype, name="down4")(x4, train=train)
+
+        y = Up(c * 8, c * 4, self.bilinear, self.use_attention, dtype=self.dtype, name="up1")(
+            x5, x4, train=train
+        )
+        y = Up(c * 4, c * 2, self.bilinear, self.use_attention, dtype=self.dtype, name="up2")(
+            y, x3, train=train
+        )
+        y = Up(c * 2, c, self.bilinear, self.use_attention, dtype=self.dtype, name="up3")(
+            y, x2, train=train
+        )
+
+        if fd == 64:
+            y = Up(c, 64 * factor, self.bilinear, self.use_attention, dtype=self.dtype, name="up4")(
+                y, x1, train=train
+            )
+        else:
+            # Alternate head for first_depth != 64 (reference models.py:193-199,
+            # 229-240): upsample, center-pad, concat [x1, y], DoubleConv -> 64.
+            if self.bilinear:
+                y = upsample2x_align_corners(y)
+                conv4 = DoubleConv(64, 64, dtype=self.dtype, name="upconv4")
+            else:
+                y = nn.ConvTranspose(
+                    64, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype, name="upsample4"
+                )(y)
+                conv4 = DoubleConv(64, dtype=self.dtype, name="upconv4")
+            y = pad_to_match(y, x1.shape[1], x1.shape[2])
+            y = conv4(jnp.concatenate([x1, y], axis=-1), train=train)
+
+        logits = OutConv(self.n_classes, dtype=self.dtype, name="outc")(y)
+        logits = logits.astype(jnp.float32)
+
+        if self.analyze:
+            return logits, logits, nn.sigmoid(logits)
+        return logits

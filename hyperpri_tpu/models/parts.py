@@ -1,0 +1,184 @@
+"""U-Net building blocks, TPU-native (Flax linen, NHWC).
+
+Functional parity targets (behavior, not code) from the reference:
+/root/reference/src/Experiments/model_parts.py
+  - DoubleConv  (model_parts.py:14-31): (Conv3x3 -> BN -> ReLU) * 2
+  - Down        (model_parts.py:34-45): MaxPool2 -> DoubleConv
+  - Up          (model_parts.py:48-90): upsample (bilinear align-corners or
+                ConvTranspose2d k2s2), center-pad to the skip's spatial size,
+                concat [skip, x] (or multiplicative attention skip*x), DoubleConv
+  - OutConv     (model_parts.py:93-99): 1x1 conv
+
+TPU-first choices:
+  - NHWC layout (channels on the 128-wide lane dimension).
+  - Convs run in a configurable compute dtype (bf16 by default in training);
+    BatchNorm statistics are always computed in float32.
+  - Bilinear upsample uses an explicit align_corners=True gather+lerp (torch
+    `nn.Upsample(align_corners=True)` semantics differ from jax.image.resize).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch BatchNorm defaults: eps=1e-5, momentum=0.1 (new = 0.9*old + 0.1*batch).
+# flax momentum is the decay of the running average -> 0.9.
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsampling with align_corners=True semantics, NHWC.
+
+    Matches torch.nn.Upsample(scale_factor=2, mode='bilinear',
+    align_corners=True): output pixel i samples input coordinate
+    i * (in - 1) / (out - 1).
+    """
+    n, h, w, c = x.shape
+    out_h, out_w = 2 * h, 2 * w
+
+    def axis_weights(in_size: int, out_size: int):
+        if in_size == 1:
+            idx0 = jnp.zeros((out_size,), jnp.int32)
+            return idx0, idx0, jnp.zeros((out_size,), x.dtype)
+        pos = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i0 = jnp.clip(i0, 0, in_size - 2)
+        frac = pos - i0.astype(jnp.float32)
+        return i0, i0 + 1, frac.astype(x.dtype)
+
+    h0, h1, hw_ = axis_weights(h, out_h)
+    w0, w1, ww_ = axis_weights(w, out_w)
+
+    # Interpolate along H, then W.
+    top = jnp.take(x, h0, axis=1)
+    bot = jnp.take(x, h1, axis=1)
+    xh = top + (bot - top) * hw_[None, :, None, None]
+    left = jnp.take(xh, w0, axis=2)
+    right = jnp.take(xh, w1, axis=2)
+    return left + (right - left) * ww_[None, None, :, None]
+
+
+def pad_to_match(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
+    """Center-pad NHWC `x` spatially to (target_h, target_w).
+
+    Matches the reference's F.pad split (model_parts.py:77-80): left/top get
+    floor(diff/2), right/bottom get the remainder.
+    """
+    diff_y = target_h - x.shape[1]
+    diff_x = target_w - x.shape[2]
+    if diff_y == 0 and diff_x == 0:
+        return x
+    return jnp.pad(
+        x,
+        (
+            (0, 0),
+            (diff_y // 2, diff_y - diff_y // 2),
+            (diff_x // 2, diff_x - diff_x // 2),
+            (0, 0),
+        ),
+    )
+
+
+class DoubleConv(nn.Module):
+    """(Conv3x3 -> BN -> ReLU) * 2. Reference: model_parts.py:14-31."""
+
+    out_channels: int
+    mid_channels: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        mid = self.mid_channels if self.mid_channels is not None else self.out_channels
+        x = nn.Conv(mid, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=jnp.float32,
+            name="bn1",
+        )(x)
+        x = nn.relu(x).astype(self.dtype)
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=jnp.float32,
+            name="bn2",
+        )(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class Down(nn.Module):
+    """MaxPool(2) -> DoubleConv. Reference: model_parts.py:34-45.
+
+    Pooling uses VALID padding (floor on odd sizes), matching torch
+    nn.MaxPool2d(2) — e.g. 121 -> 60.
+    """
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(x, train=train)
+
+
+class Up(nn.Module):
+    """Upsample -> center-pad -> merge with skip -> DoubleConv.
+
+    Reference: model_parts.py:48-90. `in_channels` is the channel count of the
+    *deeper* input x1 (needed to reproduce the reference's channel arithmetic,
+    including the bilinear=True quirk at model_parts.py:57-61).
+    Merge is concat([skip, x], channel axis) or skip*x when use_attention.
+    """
+
+    in_channels: int
+    out_channels: int
+    bilinear: bool = True
+    use_attention: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        if self.bilinear:
+            x1 = upsample2x_align_corners(x1)
+            # Reference: DoubleConv(in, out//2, mid=in//2) (attention variant
+            # DoubleConv(in//2, out//2, mid=in//2)); input channels are
+            # inferred from the merge below, so one module covers both.
+            conv = DoubleConv(
+                self.out_channels // 2, self.in_channels // 2, dtype=self.dtype, name="conv"
+            )
+        else:
+            x1 = nn.ConvTranspose(
+                self.in_channels // 2,
+                (2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                dtype=self.dtype,
+                name="up",
+            )(x1)
+            conv = DoubleConv(self.out_channels, dtype=self.dtype, name="conv")
+
+        x1 = pad_to_match(x1, x2.shape[1], x2.shape[2])
+        if self.use_attention:
+            x = x2 * x1
+        else:
+            x = jnp.concatenate([x2, x1], axis=-1)
+        return conv(x, train=train)
+
+
+class OutConv(nn.Module):
+    """1x1 conv head. Reference: model_parts.py:93-99."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv")(x)

@@ -1,0 +1,25 @@
+from hyperpri_tpu.ops.losses import bce_with_logits
+from hyperpri_tpu.ops.metrics import (
+    StatScores,
+    average_precision,
+    best_threshold_from_pr,
+    binary_accuracy,
+    binary_dice,
+    binary_jaccard,
+    confusion_matrix,
+    patch_pr_tail,
+    pr_curve,
+)
+
+__all__ = [
+    "bce_with_logits",
+    "StatScores",
+    "average_precision",
+    "best_threshold_from_pr",
+    "binary_accuracy",
+    "binary_dice",
+    "binary_jaccard",
+    "confusion_matrix",
+    "patch_pr_tail",
+    "pr_curve",
+]
