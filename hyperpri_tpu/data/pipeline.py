@@ -1,0 +1,135 @@
+"""Host input pipeline: shuffle, collate, pad, and prefetch to device.
+
+Replaces torch DataLoader as used by the reference (PLTrainer.py:338-343,
+467-471): batch sizes {'train': 2, 'val': 2, 'test': 1|2}, shuffled train,
+sequential eval.
+
+TPU-first design:
+  - Fixed batch shapes under jit: the final partial batch is padded to the
+    full batch size and carries a per-sample `valid` mask consumed by the
+    loss/metrics (no recompiles, no dropped samples — torch's default
+    drop_last=False semantics, preserved exactly).
+  - Background-thread prefetch with a bounded queue; each batch is
+    device_put while the previous one computes, overlapping host I/O
+    (the ~267 MB/cube ENVI reads, SURVEY.md §3.1) with TPU step time.
+  - Per-epoch shuffling is a pure function of (seed, epoch) — deterministic
+    resume without loader state.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def collate(samples: Sequence[Dict], batch_size: int) -> Dict[str, np.ndarray]:
+    """Stack samples; zero-pad to `batch_size` with a `valid` mask."""
+    n = len(samples)
+    assert 0 < n <= batch_size
+    image = np.stack([s["image"] for s in samples])
+    mask = np.stack([s["mask"] for s in samples])
+    valid = np.ones(n, np.float32)
+    if n < batch_size:
+        pad = batch_size - n
+        image = np.concatenate([image, np.zeros((pad,) + image.shape[1:], image.dtype)])
+        mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)])
+        valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+    names = [s["index"] for s in samples] + [""] * (batch_size - n)
+    return {"image": image, "mask": mask, "valid": valid, "names": names}
+
+
+class DataLoader:
+    """Minimal epoch-based loader over a HyperpriDataset-like object.
+
+    `shuffle=True` draws a fresh permutation per epoch from
+    default_rng((seed, epoch)); crops use an independent stream keyed the
+    same way, so a resumed epoch reproduces the original batches.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+        device_put: bool = True,
+        sharding=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.device_put = device_put
+        self.sharding = sharding
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator[Dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+        crop_rng = np.random.default_rng((self.seed + 1, self.epoch))
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            samples = [self.dataset.__getitem__(int(i), rng=crop_rng) for i in idx]
+            yield collate(samples, self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._maybe_put(self._batches())
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for b in self._maybe_put(self._batches()):
+                    q.put(b)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is sentinel:
+                break
+            yield b
+        t.join()
+        if err:
+            raise err[0]
+
+    def _maybe_put(self, it: Iterator[Dict]) -> Iterator[Dict]:
+        for b in it:
+            if self.device_put:
+                names = b.pop("names")
+                arrays = {k: v for k, v in b.items()}
+                if self.sharding is not None:
+                    arrays = jax.device_put(arrays, self.sharding)
+                else:
+                    arrays = jax.device_put(arrays)
+                arrays["names"] = names
+                yield arrays
+            else:
+                yield b
+
+
+def epoch_metrics_mask(mask: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Broadcast the per-sample valid flags to per-pixel weights."""
+    return valid.reshape((-1,) + (1,) * (mask.ndim - 1))

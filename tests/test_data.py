@@ -1,0 +1,240 @@
+"""Data-layer tests: ENVI round-trip, split parsing, dataset semantics,
+pipeline padding/prefetch."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hyperpri_tpu.data import (
+    DataLoader,
+    HyperpriDataset,
+    collate,
+    make_synthetic_dataset,
+    paired_random_crop,
+    parse_envi_header,
+    parse_split_json,
+    read_cube,
+    write_envi,
+)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hyperpri"))
+    info = make_synthetic_dataset(root, n_boxes=3, dates_per_box=2, size_hw=(24, 32), bands=20)
+    return info
+
+
+@pytest.mark.parametrize("interleave", ["bil", "bip", "bsq"])
+def test_envi_roundtrip_all_interleaves(tmp_path, rng, interleave):
+    cube = rng.normal(size=(7, 11, 5)).astype(np.float32)
+    hdr = str(tmp_path / f"c_{interleave}.hdr")
+    dat = str(tmp_path / f"c_{interleave}.dat")
+    write_envi(hdr, dat, cube, interleave=interleave)
+    h = parse_envi_header(hdr)
+    assert (h.lines, h.samples, h.bands) == (7, 11, 5)
+    assert h.interleave == interleave
+    out = read_cube(hdr, dat)
+    np.testing.assert_array_equal(out, cube)
+
+
+def test_envi_band_slice(tmp_path, rng):
+    cube = rng.normal(size=(6, 8, 10)).astype(np.float32)
+    hdr, dat = str(tmp_path / "c.hdr"), str(tmp_path / "c.dat")
+    write_envi(hdr, dat, cube, interleave="bil")
+    out = read_cube(hdr, dat, band_lo=2, band_hi=7)
+    np.testing.assert_array_equal(out, cube[:, :, 2:7])
+
+
+def test_envi_uint16(tmp_path, rng):
+    cube = rng.integers(0, 4095, size=(4, 6, 3)).astype(np.uint16)
+    hdr, dat = str(tmp_path / "u.hdr"), str(tmp_path / "u.dat")
+    write_envi(hdr, dat, cube, interleave="bsq")
+    out = read_cube(hdr, dat)
+    np.testing.assert_array_equal(out, cube.astype(np.float32))
+
+
+def test_envi_rejects_truncated(tmp_path, rng):
+    cube = rng.normal(size=(4, 4, 4)).astype(np.float32)
+    hdr, dat = str(tmp_path / "t.hdr"), str(tmp_path / "t.dat")
+    write_envi(hdr, dat, cube)
+    with open(dat, "r+b") as f:
+        f.truncate(100)
+    with pytest.raises(ValueError, match="too small"):
+        read_cube(hdr, dat)
+
+
+def test_parse_reference_split_schema(tmp_path):
+    # Golden-schema test: the exact key layout shipped by the reference
+    # (Datasets/HyperPRI/data_splits/train1.json).
+    spec = {
+        "img_dir": "rgb_files",
+        "hsi_dir": "hsi_files",
+        "mask_dir": "mask_files",
+        "box33": {
+            "plant_folder": "Peanut",
+            "resolution": "968x608",
+            "box_no": 33,
+            "phenotype": 1,
+            "dates": ["20220624", "20220701"],
+            "weights": None,
+        },
+        "box99": {
+            "plant_folder": "SweetCorn",
+            "resolution": "968x608",
+            "box_no": 99,
+            "phenotype": 2,
+            "dates": [],
+            "weights": None,
+        },
+    }
+    p = tmp_path / "train1.json"
+    p.write_text(json.dumps(spec))
+    idx = parse_split_json(str(p), str(tmp_path), mode="rgb", require_exists=False)
+    # box99 skipped (no dates); box33 contributes 2 entries
+    assert len(idx) == 2
+    assert idx.entries[0].name == "20220624_box33_ref"
+    assert idx.entries[0].img.endswith("Peanut_968x608/rgb_files/20220624_box33_ref.png")
+    assert idx.entries[0].label.endswith("Peanut_968x608/mask_files/20220624_box33_ref_mask.png")
+    assert idx.class_count == {"Peanut": 2, "SweetCorn": 0}
+
+
+def test_split_skips_missing_files(synth):
+    idx = parse_split_json(synth["splits"]["train"], synth["root"], mode="rgb")
+    assert len(idx) == 4  # 2 boxes x 2 dates
+    idx_hsi = parse_split_json(synth["splits"]["train"], synth["root"], mode="hsi")
+    assert len(idx_hsi) == 4
+
+
+def test_dataset_rgb(synth):
+    ds = HyperpriDataset(synth["root"], mode="RGB", json_file=synth["splits"]["train"])
+    assert len(ds) == 4
+    item = ds[0]
+    # 24x32 portrait in numpy is landscape in PIL terms; W(32) > H(24): no rotation
+    assert item["image"].shape == (24, 32, 3)
+    assert item["mask"].shape == (24, 32, 1)
+    assert item["image"].dtype == np.float32
+    assert set(np.unique(item["mask"])) <= {0.0, 1.0}
+    assert item["image"].max() <= 1.0
+
+
+def test_dataset_rgb_rotates_portrait(tmp_path):
+    info = make_synthetic_dataset(
+        str(tmp_path), n_boxes=1, dates_per_box=1, size_hw=(40, 20), bands=4
+    )
+    ds = HyperpriDataset(str(tmp_path), mode="RGB", json_file=info["splits"]["train"])
+    item = ds[0]
+    # stored 40x20 (H>W) -> rotated to 20x40
+    assert item["image"].shape == (20, 40, 3)
+    assert item["mask"].shape == (20, 40, 1)
+    # HSI must NOT rotate (dataset.py:277-279)
+    ds_hsi = HyperpriDataset(
+        str(tmp_path), mode="HSI", json_file=info["splits"]["train"], hsi_lo=0, hsi_hi=4
+    )
+    assert ds_hsi[0]["image"].shape == (40, 20, 4)
+
+
+def test_dataset_hsi_band_window(synth):
+    ds = HyperpriDataset(
+        synth["root"], mode="HSI", json_file=synth["splits"]["train"], hsi_lo=3, hsi_hi=17
+    )
+    item = ds[0]
+    assert item["image"].shape == (24, 32, 14)
+    assert ds.n_channels == 14
+
+
+def test_hsi_hi_nonpositive_means_299_plus(synth):
+    ds = HyperpriDataset(
+        synth["root"], mode="HSI", json_file=synth["splits"]["train"], hsi_lo=0, hsi_hi=-280
+    )
+    assert ds.hsi_hi == 19  # 299 - 280 (dataset.py:55-57)
+
+
+def test_dataset_gray_replicates_channels(synth):
+    ds = HyperpriDataset(synth["root"], mode="gray", json_file=synth["splits"]["train"])
+    img = ds[0]["image"]
+    assert img.shape[-1] == 3
+    np.testing.assert_array_equal(img[..., 0], img[..., 1])
+
+
+def test_paired_random_crop_alignment(rng):
+    img = rng.normal(size=(20, 30, 5)).astype(np.float32)
+    label = np.zeros((20, 30), np.uint8)
+    label[7, 13] = 1
+    for _ in range(10):
+        ci, cl = paired_random_crop(img, label, (10, 12), rng)
+        assert ci.shape == (10, 12, 5) and cl.shape == (10, 12)
+        ys, xs = np.nonzero(cl)
+        if len(ys):
+            # the marked pixel must carry the same image content
+            np.testing.assert_array_equal(ci[ys[0], xs[0]], img[7, 13])
+
+
+def test_dataset_crop_and_determinism(synth):
+    ds = HyperpriDataset(
+        synth["root"], mode="RGB", json_file=synth["splits"]["train"], crop_size=(16, 16)
+    )
+    r1 = ds.__getitem__(0, rng=np.random.default_rng(7))
+    r2 = ds.__getitem__(0, rng=np.random.default_rng(7))
+    np.testing.assert_array_equal(r1["image"], r2["image"])
+    assert r1["image"].shape == (16, 16, 3)
+
+
+def test_sample_weights_inverse_frequency(tmp_path):
+    # 2 Peanut boxes + 1 SweetCorn box x 1 date each
+    info = make_synthetic_dataset(
+        str(tmp_path), n_boxes=2, dates_per_box=1, size_hw=(8, 8), bands=4
+    )
+    from hyperpri_tpu.data.synthetic import make_box
+    from hyperpri_tpu.data.splits import write_split_json
+
+    rng = np.random.default_rng(0)
+    make_box(str(tmp_path), "SweetCorn", "8x8", "box50", ["20220701"], (8, 8), 4, rng)
+    boxes = dict(info["boxes"])
+    boxes["box50"] = {
+        "plant_folder": "SweetCorn",
+        "resolution": "8x8",
+        "box_no": 50,
+        "phenotype": 1,
+        "dates": ["20220701"],
+        "weights": None,
+    }
+    split = str(tmp_path / "data_splits" / "mix.json")
+    write_split_json(split, boxes)
+    ds = HyperpriDataset(str(tmp_path), mode="RGB", json_file=split)
+    # Peanut count 2, SweetCorn count 1 -> weights 1.0 for peanut, 2.0 for corn
+    w = ds.sample_weights
+    assert sorted(set(w.tolist())) == [1.0, 2.0]
+
+
+def test_collate_pads_and_masks():
+    samples = [
+        {"image": np.ones((4, 4, 3), np.float32), "mask": np.ones((4, 4, 1), np.float32), "index": "a"},
+    ]
+    b = collate(samples, 2)
+    assert b["image"].shape == (2, 4, 4, 3)
+    np.testing.assert_array_equal(b["valid"], [1.0, 0.0])
+    assert b["names"] == ["a", ""]
+
+
+def test_dataloader_epoch_determinism_and_prefetch(synth):
+    ds = HyperpriDataset(synth["root"], mode="RGB", json_file=synth["splits"]["train"])
+    dl = DataLoader(ds, batch_size=3, shuffle=True, seed=3, device_put=False)
+    dl.set_epoch(5)
+    e1 = [b["names"] for b in dl]
+    dl2 = DataLoader(ds, batch_size=3, shuffle=True, seed=3, device_put=False)
+    dl2.set_epoch(5)
+    e2 = [b["names"] for b in dl2]
+    assert e1 == e2
+    assert len(e1) == 2  # 4 samples, batch 3 -> 2 batches (last padded)
+    dl.set_epoch(6)
+    assert [b["names"] for b in dl] != e1
+
+    # device_put path returns jax arrays
+    dl3 = DataLoader(ds, batch_size=2, shuffle=False, device_put=True)
+    batch = next(iter(dl3))
+    import jax
+
+    assert isinstance(batch["image"], jax.Array)
