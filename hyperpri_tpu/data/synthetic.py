@@ -102,6 +102,42 @@ def make_box(
         )
 
 
+def make_experiment_tree(
+    calling_path: str,
+    n_boxes: int = 2,
+    dates_per_box: int = 2,
+    size_hw: Tuple[int, int] = (16, 24),
+    bands: int = 20,
+    seed: int = 0,
+    with_hsi: bool = True,
+) -> dict:
+    """Synthetic data at the path layout the config layer expects:
+    {calling_path}/Datasets/HyperPRI/ with data_splits/{train,val}1.json."""
+    root = os.path.join(calling_path, "Datasets", "HyperPRI")
+    os.makedirs(root, exist_ok=True)
+    info = make_synthetic_dataset(
+        root,
+        n_boxes=n_boxes,
+        dates_per_box=dates_per_box,
+        size_hw=size_hw,
+        bands=bands,
+        seed=seed,
+        with_hsi=with_hsi,
+    )
+    # mirror train split as val1.json target names
+    train_path = info["splits"]["train"]
+    val_path = info["splits"].get("val")
+    if val_path is None:
+        val_path = train_path
+    for want, have in [("train1.json", train_path), ("val1.json", val_path)]:
+        dst = os.path.join(root, "data_splits", want)
+        if os.path.abspath(dst) != os.path.abspath(have):
+            import shutil
+
+            shutil.copy(have, dst)
+    return info
+
+
 def make_synthetic_dataset(
     root_dir: str,
     n_boxes: int = 2,

@@ -62,14 +62,26 @@ class StatScores(NamedTuple):
         z = jnp.zeros((), jnp.int32)
         return cls(z, z, z, z)
 
-    def update(self, preds, target, threshold: float = 0.5) -> "StatScores":
-        p = _binarize(preds, threshold).reshape(-1)
-        t = target.reshape(-1).astype(bool)
-        tp = jnp.sum(p & t)
-        fp = jnp.sum(p & ~t)
-        tn = jnp.sum(~p & ~t)
-        fn = jnp.sum(~p & t)
+    def update(self, preds, target, threshold: float = 0.5, valid=None) -> "StatScores":
+        """Accumulate counts; `valid` (broadcastable bool/0-1 mask) excludes
+        padded samples/pixels from all four counts (fixed-shape batches)."""
+        p = _binarize(preds, threshold)
+        t = target.astype(bool)
+        if valid is not None:
+            v = jnp.broadcast_to(jnp.asarray(valid, bool), jnp.broadcast_shapes(p.shape, t.shape))
+        else:
+            v = jnp.ones((), bool)
+        p, t = jnp.broadcast_arrays(p, t)
+        tp = jnp.sum((p & t) & v, dtype=jnp.int32)
+        fp = jnp.sum((p & ~t) & v, dtype=jnp.int32)
+        tn = jnp.sum((~p & ~t) & v, dtype=jnp.int32)
+        fn = jnp.sum((~p & t) & v, dtype=jnp.int32)
         return StatScores(self.tp + tp, self.fp + fp, self.tn + tn, self.fn + fn)
+
+    def merge(self, other: "StatScores") -> "StatScores":
+        return StatScores(
+            self.tp + other.tp, self.fp + other.fp, self.tn + other.tn, self.fn + other.fn
+        )
 
 
 def accuracy_from_stats(s: StatScores) -> jnp.ndarray:

@@ -1,0 +1,473 @@
+"""Training engine: jitted SPMD train/eval steps, early stopping, dual
+checkpointing, CSV logging, resume.
+
+Replaces the reference's RootLightningModel + train_net
+(src/PLTrainer.py:46-183, 333-460): same protocol — Adam(lr=0.001), BCE-with-
+logits, per-epoch validation driving EarlyStopping(patience=500 on val_loss)
+and two best-model checkpoints — but as pure-functional JAX:
+
+  - one jitted train step (fwd + bwd + Adam update + metric counts) with
+    donated state; no per-batch Python in the hot loop beyond the data feed;
+  - batches are fixed-shape with a per-sample `valid` mask (padded final
+    batch) so one XLA program serves every step;
+  - distribution is declarative: batch sharded (N over 'data', H over
+    'spatial'), params replicated, optimizer state optionally ZeRO-sharded
+    (parallel/sharding.py) — XLA GSPMD emits the ICI collectives that
+    Lightning's DDP/DeepSpeed strategies delegated to NCCL.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core, struct
+
+from hyperpri_tpu.config import ExperimentConfig, resolve_criterion
+from hyperpri_tpu.data.pipeline import DataLoader
+from hyperpri_tpu.ops.metrics import (
+    StatScores,
+    accuracy_from_stats,
+    dice_from_stats,
+    jaccard_from_stats,
+)
+from hyperpri_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    sample_sharding,
+)
+from hyperpri_tpu.parallel.sharding import replicated_like, zero_opt_state_shardings
+from hyperpri_tpu.train.checkpoint import (
+    DualCheckpointManager,
+    find_resume_checkpoint,
+    load_pytree,
+    save_pytree,
+)
+from hyperpri_tpu.utils.logging import ExperimentLogger
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+    apply_fn: Any = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    """Adam/SGD selection mirroring configure_optimizers (PLTrainer.py:164-183).
+    weight_decay applies L2 like torch (coupled, via additive decay)."""
+    name = cfg.optimizer.upper()
+    if name == "ADAM":
+        tx = optax.adam(cfg.learn_rate)
+        if cfg.weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+        return tx
+    if name == "SGD":
+        return optax.sgd(cfg.learn_rate, momentum=cfg.momentum)
+    raise ValueError(f"Unknown Optimizer name: {name}")
+
+
+def create_train_state(cfg: ExperimentConfig, model, sample_image: np.ndarray, seed: int) -> TrainState:
+    variables = model.init(jax.random.key(seed), jnp.asarray(sample_image), train=False)
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    if cfg.feature_extraction:
+        # Freeze everything (reference set_parameter_requires_grad,
+        # models.py:17-20); the head is trained by a fresh optimizer mask.
+        tx = optax.chain(optax.set_to_zero(), tx)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", core.FrozenDict()),
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def masked_bce(logits, targets, valid):
+    """Mean BCE over valid samples only (padded batch entries excluded)."""
+    from hyperpri_tpu.ops.losses import bce_with_logits
+
+    per = bce_with_logits(logits, targets, reduction="none")
+    w = valid.reshape((-1,) + (1,) * (per.ndim - 1)).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w) * np.prod(per.shape[1:]), 1.0)
+    return jnp.sum(per * w) / denom
+
+
+def _batch_stats_metrics(logits, mask, valid, threshold):
+    probs_pos = jax.nn.sigmoid(logits)
+    v = valid.reshape((-1,) + (1,) * (mask.ndim - 1)) > 0
+    return StatScores.zeros().update(probs_pos, mask, threshold, valid=v)
+
+
+def make_train_step(threshold: float):
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def loss_fn(params):
+            logits, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = masked_bce(logits, batch["mask"], batch["valid"])
+            return loss, (logits, updates["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        stats = _batch_stats_metrics(logits, batch["mask"], batch["valid"], threshold)
+        n_valid = jnp.sum(batch["valid"])
+        logs = {"loss_sum": loss * n_valid, "n": n_valid, "stats": stats}
+        return state, logs
+
+    return train_step
+
+
+def make_eval_step(threshold: float, return_logits: bool = False):
+    def eval_step(state: TrainState, batch):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"],
+            train=False,
+        )
+        loss = masked_bce(logits, batch["mask"], batch["valid"])
+        # validation thresholds at 0.5 regardless of self.threshold
+        # (reference PLTrainer.py:110)
+        stats = _batch_stats_metrics(logits, batch["mask"], batch["valid"], threshold)
+        n_valid = jnp.sum(batch["valid"])
+        logs = {"loss_sum": loss * n_valid, "n": n_valid, "stats": stats}
+        if return_logits:
+            logs["logits"] = logits
+        return logs
+
+    return eval_step
+
+
+def _epoch_reduce(history) -> Dict[str, float]:
+    total_n = float(sum(float(h["n"]) for h in history))
+    loss = sum(float(h["loss_sum"]) for h in history) / max(total_n, 1.0)
+    stats = StatScores.zeros()
+    for h in history:
+        stats = stats.merge(h["stats"])
+    return {
+        "loss": loss,
+        "acc": float(accuracy_from_stats(stats)),
+        "dice": float(dice_from_stats(stats, zero_division=1e-12)),
+        "pos_iou": float(jaccard_from_stats(stats)),
+    }
+
+
+@dataclass
+class FitResult:
+    epochs_run: int
+    best_val_loss: float
+    best_val_dice: float
+    stopped_early: bool
+    state: TrainState
+
+
+class Trainer:
+    """Epoch-driven fit/validate/predict engine over jitted SPMD steps."""
+
+    def __init__(self, cfg: ExperimentConfig, model=None, mesh=None, use_spatial: bool = True):
+        self.cfg = cfg
+        self.model = model if model is not None else cfg.get_network()
+        # SPMD engages only when asked for (cfg.mesh_shape / explicit mesh);
+        # single-device jit otherwise.
+        self.mesh = mesh if mesh is not None else (
+            make_mesh(cfg.mesh_shape) if cfg.mesh_shape else None
+        )
+        self.use_spatial = use_spatial
+        self._train_step = None
+        self._eval_step = None
+        self._predict_step = None
+
+    def effective_batch(self, b: int) -> int:
+        """Round a batch size up to a multiple of the 'data' mesh axis so
+        fixed-shape padded batches shard evenly."""
+        if self.mesh is None:
+            return b
+        d = self.mesh.shape["data"]
+        return ((b + d - 1) // d) * d
+
+    # -- sharding plumbing ------------------------------------------------
+
+    def _shardings_for_state(self, state: TrainState):
+        if self.mesh is None:
+            return None
+        rep = replicated_like(
+            {"step": state.step, "params": state.params, "batch_stats": state.batch_stats},
+            self.mesh,
+        )
+        opt = (
+            zero_opt_state_shardings(state.opt_state, self.mesh)
+            if self.cfg.zero_shard_opt
+            else replicated_like(state.opt_state, self.mesh)
+        )
+        return TrainState(
+            step=rep["step"],
+            params=rep["params"],
+            batch_stats=rep["batch_stats"],
+            opt_state=opt,
+            apply_fn=state.apply_fn,
+            tx=state.tx,
+        )
+
+    def _batch_shardings(self):
+        if self.mesh is None:
+            return None
+        bs = batch_sharding(self.mesh, spatial=self.use_spatial)
+        return {"image": bs, "mask": bs, "valid": sample_sharding(self.mesh)}
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        sh = self._shardings_for_state(state)
+        if sh is None:
+            return state
+        return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
+
+    def _compile_steps(self, state: TrainState):
+        state_sh = self._shardings_for_state(state)
+        batch_sh = self._batch_shardings()
+        train = make_train_step(self.cfg.threshold)
+        evals = make_eval_step(0.5)
+        predict = make_eval_step(0.5, return_logits=True)
+        if self.mesh is None:
+            self._train_step = jax.jit(train, donate_argnums=0)
+            self._eval_step = jax.jit(evals)
+            self._predict_step = jax.jit(predict)
+        else:
+            rep = replicated(self.mesh)
+            out_logs = None  # let XLA choose
+            self._train_step = jax.jit(
+                train,
+                in_shardings=(state_sh, batch_sh),
+                out_shardings=(state_sh, out_logs),
+                donate_argnums=0,
+            )
+            self._eval_step = jax.jit(evals, in_shardings=(state_sh, batch_sh))
+            self._predict_step = jax.jit(predict, in_shardings=(state_sh, batch_sh))
+
+    # -- fit ---------------------------------------------------------------
+
+    def fit(
+        self,
+        train_loader: DataLoader,
+        val_loader: DataLoader,
+        resume_from: Optional[str] = None,
+        max_epochs: Optional[int] = None,
+        progress: bool = True,
+    ) -> FitResult:
+        cfg = self.cfg
+        sample = next(iter(train_loader))
+        state = create_train_state(cfg, self.model, np.asarray(sample["image"][:1]), cfg.run_num)
+        state = self._place_state(state)
+        self._compile_steps(state)
+
+        ckpt = DualCheckpointManager(cfg.save_path)
+        logger = ExperimentLogger(cfg.save_path, hparams=cfg)
+        start_epoch, wait = 0, 0
+        best_val_loss, best_val_dice = float("inf"), float("-inf")
+
+        if resume_from:
+            payload = load_pytree(
+                resume_from,
+                target={
+                    "state": _state_ckpt_view(state),
+                    "epoch": 0,
+                    "wait": 0,
+                    "best_val_loss": 0.0,
+                    "best_val_dice": 0.0,
+                },
+            )
+            state = _restore_state(state, payload["state"])
+            state = self._place_state(state)
+            start_epoch = int(payload["epoch"]) + 1
+            wait = int(payload["wait"])
+            best_val_loss = float(payload["best_val_loss"])
+            best_val_dice = float(payload["best_val_dice"])
+            ckpt.best_val_loss, ckpt.best_val_dice = best_val_loss, best_val_dice
+            if progress:
+                print(f"Resumed from {resume_from} at epoch {start_epoch}")
+
+        epochs = max_epochs if max_epochs is not None else cfg.epochs
+        stopped = False
+        epoch = start_epoch - 1
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            train_loader.set_epoch(epoch)
+            train_hist = []
+            for batch in train_loader:
+                state, logs = self._train_step(state, _array_batch(batch))
+                train_hist.append(logs)
+            tr = _epoch_reduce(train_hist)
+
+            val_hist = [self._eval_step(state, _array_batch(b)) for b in val_loader]
+            vl = _epoch_reduce(val_hist)
+
+            metrics = {
+                "epoch": epoch,
+                "tr_loss": tr["loss"],
+                "tr_acc": tr["acc"],
+                "tr_dice": tr["dice"],
+                "tr_pos_iou": tr["pos_iou"],
+                "val_loss": vl["loss"],
+                "val_acc": vl["acc"],
+                "val_dice": vl["dice"],
+                "val_pos_iou": vl["pos_iou"],
+                "lr": cfg.learn_rate,
+                "epoch_time": time.time() - t0,
+            }
+            logger.log_metrics(metrics, step=epoch)
+            if progress:
+                print(
+                    f"epoch {epoch:4d}  tr_loss {tr['loss']:.4f}  val_loss {vl['loss']:.4f}  "
+                    f"val_dice {vl['dice']:.4f}  ({metrics['epoch_time']:.1f}s)"
+                )
+
+            improved = vl["loss"] < best_val_loss
+            if improved:
+                best_val_loss, wait = vl["loss"], 0
+            else:
+                wait += 1
+            best_val_dice = max(best_val_dice, vl["dice"])
+
+            host_state = jax.device_get(_state_ckpt_view(state))
+            payload = {
+                "state": host_state,
+                "epoch": epoch,
+                "wait": wait,
+                "best_val_loss": best_val_loss,
+                "best_val_dice": best_val_dice,
+            }
+            weights_only = {
+                "params": host_state["params"],
+                "batch_stats": host_state["batch_stats"],
+            }
+            ckpt.step(epoch, vl["loss"], vl["dice"], payload, weights_only)
+
+            if wait >= cfg.overall:  # EarlyStopping('val_loss', patience=...)
+                stopped = True
+                if progress:
+                    print(f"Early stopping at epoch {epoch} (patience {cfg.overall})")
+                break
+
+        return FitResult(
+            epochs_run=epoch - start_epoch + 1,
+            best_val_loss=best_val_loss,
+            best_val_dice=best_val_dice,
+            stopped_early=stopped,
+            state=state,
+        )
+
+    # -- predict -----------------------------------------------------------
+
+    def predict(self, loader: DataLoader, state: TrainState):
+        """Yield (logits, masks, valid, names) numpy tuples per batch."""
+        if self._predict_step is None:
+            self._compile_steps(state)
+        for batch in loader:
+            names = batch.get("names")
+            logs = self._predict_step(state, _array_batch(batch))
+            yield (
+                np.asarray(logs["logits"]),
+                np.asarray(batch["mask"]),
+                np.asarray(batch["valid"]),
+                names,
+            )
+
+    def restore_state(self, path: str, state: Optional[TrainState] = None) -> TrainState:
+        """Load params/batch_stats (full or weights-only checkpoint)."""
+        if state is None:
+            img = np.zeros((1, 32, 32, self.cfg.channels), np.float32)
+            state = create_train_state(self.cfg, self.model, img, self.cfg.run_num)
+        raw = load_pytree(path)
+        if "state" in raw:
+            raw = raw["state"]
+        from flax import serialization
+
+        params = serialization.from_state_dict(state.params, raw["params"])
+        batch_stats = serialization.from_state_dict(state.batch_stats, raw["batch_stats"])
+        return state.replace(params=params, batch_stats=batch_stats)
+
+
+def _state_ckpt_view(state: TrainState) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+
+
+def _restore_state(state: TrainState, view: Dict[str, Any]) -> TrainState:
+    return state.replace(
+        step=view["step"],
+        params=view["params"],
+        batch_stats=view["batch_stats"],
+        opt_state=view["opt_state"],
+    )
+
+
+def _array_batch(batch) -> Dict[str, Any]:
+    return {k: v for k, v in batch.items() if k != "names"}
+
+
+def train_net(
+    params: ExperimentConfig,
+    checkpoint: Optional[bool] = None,
+    model_parallel: bool = False,
+    max_epochs: Optional[int] = None,
+    progress: bool = True,
+) -> Trainer:
+    """Entry point mirroring the reference train_net(params, checkpoint,
+    model_parallel) (PLTrainer.py:333-460). Returns the Trainer (the stand-in
+    for the fitted pl.Trainer)."""
+    import math
+
+    cfg = params
+    if model_parallel:
+        # MODEL_SHARD=True equivalent: bf16 compute + ZeRO-sharded opt state
+        # + spatial sharding, the reference's deepspeed_stage_2/bf16-mixed
+        # (PLTrainer.py:421-433) re-expressed as shardings.
+        cfg.precision = "bf16"
+        cfg.zero_shard_opt = True
+        if cfg.mesh_shape is None:
+            ndev = len(jax.devices())
+            data = math.gcd(cfg.b_size["train"], ndev)
+            cfg.mesh_shape = {"data": data, "spatial": ndev // data}
+
+    trainer = Trainer(cfg)
+    train_loader = DataLoader(
+        cfg.get_train_data(),
+        trainer.effective_batch(cfg.b_size["train"]),
+        shuffle=True,
+        seed=cfg.run_num,
+    )
+    val_loader = DataLoader(
+        cfg.get_val_data(), trainer.effective_batch(cfg.b_size["val"]), shuffle=False
+    )
+    resume = find_resume_checkpoint(cfg.save_path) if checkpoint else None
+    trainer.fit_result = trainer.fit(
+        train_loader, val_loader, resume_from=resume, max_epochs=max_epochs, progress=progress
+    )
+    return trainer

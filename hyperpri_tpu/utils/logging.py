@@ -1,0 +1,71 @@
+"""Experiment logging: CSV metrics + JSON hyperparameters.
+
+Replaces the reference's CSVLogger/TensorBoardLogger/CometLogger stack
+(src/PLTrainer.py:362-376). Metrics land in {save_path}/LOGS/metrics.csv,
+hyperparameters in {save_path}/LOGS/hparams.json, and a JSONL event stream
+in {save_path}/LOGS/events.jsonl (greppable stand-in for TensorBoard;
+external services like Comet are intentionally not contacted).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+class ExperimentLogger:
+    def __init__(self, save_path: str, hparams: Optional[Any] = None):
+        self.log_dir = os.path.join(save_path, "LOGS")
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.csv_path = os.path.join(self.log_dir, "metrics.csv")
+        self.jsonl_path = os.path.join(self.log_dir, "events.jsonl")
+        self._fieldnames = None
+        if hparams is not None:
+            self.log_hparams(hparams)
+
+    def log_hparams(self, hparams: Any) -> None:
+        if dataclasses.is_dataclass(hparams) and not isinstance(hparams, type):
+            data = dataclasses.asdict(hparams)
+        elif isinstance(hparams, dict):
+            data = hparams
+        else:
+            data = dict(vars(hparams))
+        safe = {k: v for k, v in data.items() if _jsonable(v)}
+        with open(os.path.join(self.log_dir, "hparams.json"), "w") as f:
+            json.dump(safe, f, indent=2, default=str)
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        row = {"step": step, "time": time.time()}
+        row.update({k: _to_float(v) for k, v in metrics.items()})
+        write_header = self._fieldnames is None and not os.path.exists(self.csv_path)
+        if self._fieldnames is None:
+            self._fieldnames = list(row)
+        for k in row:
+            if k not in self._fieldnames:  # schema grew; rewrite header set
+                self._fieldnames.append(k)
+        with open(self.csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
+            if write_header:
+                w.writeheader()
+            w.writerow(row)
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+
+def _to_float(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
+
+
+def _jsonable(v) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except (TypeError, ValueError):
+        return isinstance(v, (str, int, float, bool, type(None)))
