@@ -1,0 +1,167 @@
+"""Headline benchmark: CubeNET-64 full-resolution HSI inference throughput.
+
+Protocol mirrors the reference's inference benchmark
+(/root/reference/test_models.ipynb cells 10-11): batch 1, full 608x968x238
+cube, forward only, mean of 5 timed runs — but on TPU with bf16 compute and
+a jitted graph (the reference protocol runs torch on CPU).
+
+Baseline: the same architecture executed through torch (CPU, fp32, no_grad)
+with this machine's CPU — the reference's own protocol hardware. The torch
+measurement is cached in baseline_torch_cpu.json after the first run.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "cubes/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+H, W, D, FD = 608, 968, 238, 64
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "baseline_torch_cpu.json")
+
+
+def measure_tpu(n_warmup: int = 2, n_runs: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from hyperpri_tpu.models import CubeNET
+
+    model = CubeNET(hsi_depth=D, n_classes=1, first_depth=FD, bilinear=False, dtype=jnp.bfloat16)
+    rng = jax.random.key(0)
+    # Params are spatial-size independent: init jitted at 64x64, run at full
+    # res. The input cube is generated on device — no half-GB host upload.
+    small = jnp.zeros((1, 64, 64, D), jnp.bfloat16)
+    variables = jax.jit(lambda r, s: model.init(r, s, train=False))(rng, small)
+    x = jax.jit(lambda r: jax.random.normal(r, (1, H, W, D), jnp.bfloat16))(rng)
+
+    @jax.jit
+    def forward(variables, image):
+        # Reduce to a scalar so the timed fetch forces full execution without
+        # paying logits transfer over the device tunnel (block_until_ready is
+        # not a reliable barrier on remote platforms).
+        logits = model.apply(variables, image, train=False)
+        return jnp.sum(logits.astype(jnp.float32))
+
+    for _ in range(n_warmup):
+        float(forward(variables, x))
+    times = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        float(forward(variables, x))
+        times.append(time.perf_counter() - t0)
+    return 1.0 / (sum(times) / len(times))
+
+
+def torch_cubenet():
+    """Architecture-equivalent CubeNET-64 in torch for the CPU baseline
+    (built from the layer spec in SURVEY.md §2; no reference code)."""
+    import torch
+    import torch.nn as nn
+
+    def double_conv(cin, cout):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1), nn.BatchNorm2d(cout), nn.ReLU(True),
+            nn.Conv2d(cout, cout, 3, padding=1), nn.BatchNorm2d(cout), nn.ReLU(True),
+        )
+
+    class TorchCube(nn.Module):
+        def __init__(self):
+            super().__init__()
+            C = 128
+            self.inc = nn.Sequential(
+                nn.Conv3d(1, FD, (D, 3, 3), padding=(0, 1, 1)), nn.BatchNorm3d(FD), nn.ReLU(True)
+            )
+            self.inc2 = nn.Sequential(
+                nn.Conv2d(FD, FD, 3, padding=1), nn.BatchNorm2d(FD), nn.ReLU(True)
+            )
+            self.downs = nn.ModuleList(
+                [double_conv(cin, cout) for cin, cout in [(FD, C), (C, 2 * C), (2 * C, 4 * C), (4 * C, 8 * C)]]
+            )
+            self.ups = nn.ModuleList(
+                [nn.ConvTranspose2d(cin, cin // 2, 2, 2) for cin in [8 * C, 4 * C, 2 * C, C]]
+            )
+            self.upconvs = nn.ModuleList(
+                [double_conv(cin, cout) for cin, cout in [(8 * C, 4 * C), (4 * C, 2 * C), (2 * C, C), (C, 64)]]
+            )
+            self.outc = nn.Conv2d(64, 1, 1)
+            self.pool = nn.MaxPool2d(2)
+
+        def forward(self, x):
+            import torch
+            import torch.nn.functional as F
+
+            x1 = self.inc(x).squeeze(2)
+            x1 = self.inc2(x1)
+            skips = [x1]
+            h = x1
+            for dc in self.downs:
+                h = dc(self.pool(h))
+                skips.append(h)
+            for i, (up, uc) in enumerate(zip(self.ups, self.upconvs)):
+                h = up(h)
+                skip = skips[-2 - i]
+                dy, dx = skip.shape[2] - h.shape[2], skip.shape[3] - h.shape[3]
+                h = F.pad(h, [dx // 2, dx - dx // 2, dy // 2, dy - dy // 2])
+                h = uc(torch.cat([skip, h], 1))
+            return self.outc(h)
+
+    return TorchCube()
+
+
+def measure_torch_cpu(n_runs: int = 2) -> float:
+    import torch
+
+    model = torch_cubenet().eval()
+    x = torch.randn(1, 1, D, H, W)
+    with torch.no_grad():
+        model(x)  # warmup
+        times = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            model(x)
+            times.append(time.perf_counter() - t0)
+    return 1.0 / (sum(times) / len(times))
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["cubes_per_sec"]
+    try:
+        cps = measure_torch_cpu()
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(
+                {
+                    "cubes_per_sec": cps,
+                    "protocol": "torch CPU fp32 no_grad batch=1 CubeNET-64 608x968x238 "
+                    "(reference test_models.ipynb cell 11 protocol)",
+                },
+                f,
+                indent=2,
+            )
+        return cps
+    except Exception as e:  # baseline failure must not sink the benchmark
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        return 0.0
+
+
+def main():
+    value = measure_tpu()
+    baseline = get_baseline()
+    result = {
+        "metric": "CubeNET-64 HSI inference throughput (608x968x238, batch 1, bf16, TPU)",
+        "value": round(value, 4),
+        "unit": "cubes/sec",
+        "vs_baseline": round(value / baseline, 2) if baseline > 0 else 0.0,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

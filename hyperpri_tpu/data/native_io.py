@@ -1,0 +1,93 @@
+"""ctypes bindings for the native C++ ENVI reader (runtime/envi_reader.cc).
+
+The native reader mmaps the .dat and gathers the requested band window into
+float32 NHWC with a thread pool — the accelerated path behind
+hyperpri_tpu.data.envi.read_cube (which falls back to numpy when the shared
+library hasn't been built). Build with:  make -C runtime
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_INTERLEAVE_CODE = {"bil": 0, "bip": 1, "bsq": 2}
+
+_lib = None
+_lib_checked = False
+
+
+def _find_library() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates = [
+        os.path.join(here, "runtime", "build", "libhyperpri_io.so"),
+        os.environ.get("HYPERPRI_IO_LIB", ""),
+    ]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
+def get_library():
+    global _lib, _lib_checked
+    if _lib_checked:
+        return _lib
+    _lib_checked = True
+    path = _find_library()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.envi_read_slice.restype = ctypes.c_int
+    lib.envi_read_slice.argtypes = [
+        ctypes.c_char_p,  # dat_path
+        ctypes.c_long,  # header_offset
+        ctypes.c_int,  # lines
+        ctypes.c_int,  # samples
+        ctypes.c_int,  # bands
+        ctypes.c_int,  # dtype_code
+        ctypes.c_int,  # byte_order
+        ctypes.c_int,  # interleave
+        ctypes.c_int,  # band_lo
+        ctypes.c_int,  # band_hi
+        ctypes.POINTER(ctypes.c_float),  # out
+        ctypes.c_int,  # n_threads
+    ]
+    _lib = lib
+    return _lib
+
+
+def read_cube_native(hdr, dat_path: str, band_lo: int, band_hi: int, dtype) -> Optional[np.ndarray]:
+    """Native band-window read; None if unavailable (caller falls back)."""
+    if np.dtype(dtype) != np.float32:
+        return None
+    lib = get_library()
+    if lib is None:
+        return None
+    from hyperpri_tpu.data.envi import ENVI_DTYPES
+
+    dtype_code = {np.dtype(v): k for k, v in ENVI_DTYPES.items()}.get(np.dtype(hdr.dtype.type))
+    if dtype_code is None:
+        return None
+    nb = band_hi - band_lo
+    out = np.empty((hdr.lines, hdr.samples, nb), np.float32)
+    rc = lib.envi_read_slice(
+        dat_path.encode(),
+        hdr.header_offset,
+        hdr.lines,
+        hdr.samples,
+        hdr.bands,
+        dtype_code,
+        hdr.byte_order,
+        _INTERLEAVE_CODE[hdr.interleave],
+        band_lo,
+        band_hi,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        min(os.cpu_count() or 1, 8),
+    )
+    if rc != 0:
+        raise OSError(f"envi_read_slice failed with code {rc} for {dat_path}")
+    return out
