@@ -23,11 +23,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from hyperpri_tpu.models.parts import (
-    BN_EPS,
-    BN_MOMENTUM,
     DoubleConv,
     Down,
     OutConv,
+    TorchBatchNorm,
     Up,
     pad_to_match,
     upsample2x_align_corners,
@@ -57,24 +56,12 @@ class CubeNET(nn.Module):
         # Spectral collapse: Conv3d(1, fd, (D,3,3), pad (0,1,1)) == 2D conv
         # with D input channels (reference models.py:169).
         x1 = nn.Conv(fd, (3, 3), padding="SAME", dtype=self.dtype, name="first_conv")(x)
-        x1 = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=jnp.float32,
-            name="first_bn",
-        )(x1)
+        x1 = TorchBatchNorm(name="first_bn")(x1, use_running_average=not train)
         x1 = nn.relu(x1).astype(self.dtype)
         # inc2: single Conv+BN+ReLU to "match UNET's starter DoubleConv"
         # (reference models.py:176-180).
         x1 = nn.Conv(fd, (3, 3), padding="SAME", dtype=self.dtype, name="inc2_conv")(x1)
-        x1 = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=jnp.float32,
-            name="inc2_bn",
-        )(x1)
+        x1 = TorchBatchNorm(name="inc2_bn")(x1, use_running_average=not train)
         x1 = nn.relu(x1).astype(self.dtype)
 
         x2 = Down(c, dtype=self.dtype, name="down1")(x1, train=train)

@@ -21,13 +21,59 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 # torch BatchNorm defaults: eps=1e-5, momentum=0.1 (new = 0.9*old + 0.1*batch).
 # flax momentum is the decay of the running average -> 0.9.
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch semantics.
+
+    Differences from flax nn.BatchNorm that matter for parity with the
+    reference's BatchNorm1d/2d/3d layers:
+      - running_var accumulates the *unbiased* batch variance (n/(n-1))
+        while normalization uses the biased one (torch behavior);
+      - statistics always computed in float32 regardless of compute dtype.
+    Parameter/collection names match nn.BatchNorm ('scale'/'bias' in params,
+    'mean'/'var' in batch_stats) so checkpoints and the torch-import bridge
+    are layout-compatible.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, use_running_average: bool) -> jnp.ndarray:
+        feats = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (feats,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (feats,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feats,), jnp.float32)
+        )
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((feats,), jnp.float32))
+
+        x32 = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = float(np.prod([x.shape[a] for a in axes]))
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y
 
 
 def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
@@ -94,22 +140,10 @@ class DoubleConv(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         mid = self.mid_channels if self.mid_channels is not None else self.out_channels
         x = nn.Conv(mid, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=jnp.float32,
-            name="bn1",
-        )(x)
+        x = TorchBatchNorm(name="bn1")(x, use_running_average=not train)
         x = nn.relu(x).astype(self.dtype)
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=jnp.float32,
-            name="bn2",
-        )(x)
+        x = TorchBatchNorm(name="bn2")(x, use_running_average=not train)
         return nn.relu(x).astype(self.dtype)
 
 

@@ -28,7 +28,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hyperpri_tpu.models.parts import BN_EPS, BN_MOMENTUM
+from hyperpri_tpu.models.parts import TorchBatchNorm
 
 
 class SpectralBlock(nn.Module):
@@ -42,13 +42,7 @@ class SpectralBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.feats, dtype=self.dtype, name="linear")(x)
         if self.bnorm:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=BN_MOMENTUM,
-                epsilon=BN_EPS,
-                dtype=jnp.float32,
-                name="bn",
-            )(x)
+            x = TorchBatchNorm(name="bn")(x, use_running_average=not train)
         return nn.relu(x).astype(self.dtype)
 
 

@@ -11,7 +11,8 @@ Layout transforms:
   torch Conv2d  (O, I, kh, kw)      -> flax Conv kernel (kh, kw, I, O)
   torch Conv3d  (O, 1, D, kh, kw)   -> flax Conv kernel (kh, kw, D, O)
                                        (CubeNET spectral collapse == 2D conv)
-  torch ConvT2d (I, O, kh, kw)      -> flax ConvTranspose kernel (kh, kw, I, O)
+  torch ConvT2d (I, O, kh, kw)      -> flax ConvTranspose kernel (kh, kw, I, O),
+                                       spatially flipped (flax does not flip)
   torch Linear  (O, I)              -> flax Dense kernel (I, O)
   torch BN weight/bias/running_*    -> flax BatchNorm scale/bias + batch_stats
 """
@@ -100,8 +101,11 @@ def convert_state_dict(
             put(params, flax_path, "kernel", np.transpose(w, (2, 3, 1, 0)))
             put(params, flax_path, "bias", _np(torch_sd[f"{tprefix}.bias"]))
         elif kind == "convT":
+            # flax ConvTranspose applies the kernel un-flipped (fractionally
+            # strided conv); torch's ConvTranspose2d flips it -> spatial flip.
             w = _np(torch_sd[f"{tprefix}.weight"])  # (I, O, kh, kw)
-            put(params, flax_path, "kernel", np.transpose(w, (2, 3, 0, 1)))
+            w = np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
+            put(params, flax_path, "kernel", w)
             put(params, flax_path, "bias", _np(torch_sd[f"{tprefix}.bias"]))
         elif kind == "linear":
             put(params, flax_path, "kernel", _np(torch_sd[f"{tprefix}.weight"]).T)
