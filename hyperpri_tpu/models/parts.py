@@ -134,16 +134,19 @@ class DoubleConv(nn.Module):
 
     out_channels: int
     mid_channels: Optional[int] = None
+    fused_bn: bool = False  # inference path: BN folded into conv (ops/fold_bn.py)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         mid = self.mid_channels if self.mid_channels is not None else self.out_channels
         x = nn.Conv(mid, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
-        x = TorchBatchNorm(name="bn1")(x, use_running_average=not train)
+        if not self.fused_bn:
+            x = TorchBatchNorm(name="bn1")(x, use_running_average=not train)
         x = nn.relu(x).astype(self.dtype)
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x)
-        x = TorchBatchNorm(name="bn2")(x, use_running_average=not train)
+        if not self.fused_bn:
+            x = TorchBatchNorm(name="bn2")(x, use_running_average=not train)
         return nn.relu(x).astype(self.dtype)
 
 
@@ -155,12 +158,15 @@ class Down(nn.Module):
     """
 
     out_channels: int
+    fused_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        return DoubleConv(self.out_channels, dtype=self.dtype, name="conv")(x, train=train)
+        return DoubleConv(
+            self.out_channels, fused_bn=self.fused_bn, dtype=self.dtype, name="conv"
+        )(x, train=train)
 
 
 class Up(nn.Module):
@@ -176,6 +182,7 @@ class Up(nn.Module):
     out_channels: int
     bilinear: bool = True
     use_attention: bool = False
+    fused_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -186,7 +193,11 @@ class Up(nn.Module):
             # DoubleConv(in//2, out//2, mid=in//2)); input channels are
             # inferred from the merge below, so one module covers both.
             conv = DoubleConv(
-                self.out_channels // 2, self.in_channels // 2, dtype=self.dtype, name="conv"
+                self.out_channels // 2,
+                self.in_channels // 2,
+                fused_bn=self.fused_bn,
+                dtype=self.dtype,
+                name="conv",
             )
         else:
             x1 = nn.ConvTranspose(
@@ -197,7 +208,7 @@ class Up(nn.Module):
                 dtype=self.dtype,
                 name="up",
             )(x1)
-            conv = DoubleConv(self.out_channels, dtype=self.dtype, name="conv")
+            conv = DoubleConv(self.out_channels, fused_bn=self.fused_bn, dtype=self.dtype, name="conv")
 
         x1 = pad_to_match(x1, x2.shape[1], x2.shape[2])
         if self.use_attention:

@@ -36,12 +36,13 @@ class SpectralBlock(nn.Module):
 
     feats: int
     bnorm: bool = True
+    fused_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.feats, dtype=self.dtype, name="linear")(x)
-        if self.bnorm:
+        if self.bnorm and not self.fused_bn:
             x = TorchBatchNorm(name="bn")(x, use_running_average=not train)
         return nn.relu(x).astype(self.dtype)
 
@@ -52,6 +53,7 @@ class SpectralUNET(nn.Module):
     bn_feats: int = 16
     bnorm: bool = True
     remat: bool = False
+    fused_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -68,7 +70,7 @@ class SpectralUNET(nn.Module):
             block = nn.remat(SpectralBlock, static_argnums=())
 
         def mk(name):
-            return block(self.bn_feats, self.bnorm, dtype=self.dtype, name=name)
+            return block(self.bn_feats, self.bnorm, self.fused_bn, dtype=self.dtype, name=name)
 
         x0 = mk("tail")(p, train=train)
         x1 = mk("down1")(x0, train=train)
