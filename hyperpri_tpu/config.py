@@ -91,6 +91,7 @@ class ExperimentConfig:
     remat: bool = False
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {'data': 2, 'spatial': 4}
     zero_shard_opt: bool = False  # ZeRO-equivalent sharded optimizer state
+    profile_dir: Optional[str] = None  # jax.profiler trace of one post-compile epoch
 
     def __post_init__(self):
         self.run_num = 10 * self.seed_num + self.split_no

@@ -4,17 +4,20 @@ The hot op of every model in this framework (SURVEY.md §2.2: cuDNN conv
 kernels are the reference's FLOP carrier). Design:
 
   - implicit GEMM: for each (batch, H-tile, Cout-tile) grid cell, the kernel
-    holds an (TH+2, W+2, Cin) input halo block and the (3, 3, Cin, TO)
-    weight block in VMEM and issues 9 shifted (TH*W, Cin) x (Cin, TO)
-    matmuls on the MXU, accumulating in float32 VMEM scratch;
-  - the H halo comes from overlapping BlockSpec index maps over an input
-    pre-padded by 1 pixel (zero SAME border), so no DMA choreography is
-    needed and XLA pipelines the HBM->VMEM streams across grid steps;
+    holds an (TH+2, Wb, Cp) input halo block and the (3, 3, Cp, TO) weight
+    block in VMEM and issues 9 shifted (TH*Wo, Cp) x (Cp, TO) matmuls on the
+    MXU, accumulating in float32 VMEM scratch;
+  - the H halo comes from overlapping Element-indexed windows (stride TH,
+    size TH+2) over an input pre-padded so no window is out of bounds;
+  - W and C are zero-padded to multiples of 8 (Mosaic block-shape rule);
+    padded lanes multiply against zero weights, so outputs are exact;
   - bias add + optional ReLU fused into the epilogue, output cast to the
     compute dtype (bf16 by default).
 
 Numerical contract: float32 accumulation regardless of input dtype
-(preferred_element_type), matching XLA's conv on TPU.
+(preferred_element_type), matching XLA's conv on TPU. Validated exact vs
+jax.lax.conv_general_dilated on TPU hardware and in interpret mode
+(tests/test_pallas_conv.py).
 """
 
 from __future__ import annotations
@@ -32,12 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 from jax._src.pallas.core import Element  # noqa: E402  (not yet re-exported)
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, th: int, width: int, relu: bool):
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _conv_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, th: int, wo: int, relu: bool):
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for dh in range(3):
         for dw in range(3):
-            xs = x_ref[0, dh : dh + th, dw : dw + width, :]
-            xs2 = xs.reshape(th * width, xs.shape[-1])
+            xs = x_ref[0, dh : dh + th, dw : dw + wo, :]
+            xs2 = xs.reshape(th * wo, xs.shape[-1])
             acc_ref[...] += jax.lax.dot_general(
                 xs2,
                 w_ref[dh, dw],
@@ -47,7 +54,7 @@ def _conv_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, th: int, width: int, re
     y = acc_ref[...] + b_ref[...].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
-    o_ref[...] = y.reshape(1, th, width, o_ref.shape[-1]).astype(o_ref.dtype)
+    o_ref[...] = y.reshape(1, th, wo, o_ref.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -69,42 +76,48 @@ def conv3x3_bias_act(
     kh, kw, wc, o = w.shape
     assert (kh, kw) == (3, 3) and wc == c, (w.shape, x.shape)
     out_dtype = out_dtype or x.dtype
-    to = to or min(o, 128)
-    th = min(th, h)
+    th = min(th, _round_up(h, 8))
 
-    # Pad: 1-pixel SAME border, plus bottom rows so every halo window
-    # (stride th, size th+2) stays in bounds — OOB Element reads clamp the
-    # window start (dynamic-slice semantics), which would shift tail tiles.
+    # Alignment (Mosaic: trailing two block dims divisible by 8).
+    wo = _round_up(width, 8)       # output/compute width
+    wb = _round_up(wo + 2, 8)      # input block width (halo included)
+    cp = _round_up(c, 8)           # input channels
+    to = _round_up(min(to or 128, _round_up(o, 8)), 8)
+    op = _round_up(o, to)          # output channels: whole number of tiles
+
     n_h_blocks = pl.cdiv(h, th)
+    # Pad: 1-px SAME border; bottom so halo windows (stride th, size th+2)
+    # never leave the array (OOB Element reads clamp and would shift tiles);
+    # right/channel to alignment. All padding is zeros -> exact outputs.
     bottom = n_h_blocks * th - h + 1
-    xp = jnp.pad(x, ((0, 0), (1, bottom), (1, 1), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (1, bottom), (1, wb - width - 1), (0, cp - c)))
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, cp - c), (0, op - o)))
+    bp = jnp.pad(b, (0, op - o))
 
-    grid = (n, n_h_blocks, pl.cdiv(o, to))
-    kernel = functools.partial(_conv_kernel, th=th, width=width, relu=relu)
+    grid = (n, n_h_blocks, op // to)
+    kernel = functools.partial(_conv_kernel, th=th, wo=wo, relu=relu)
     flops = 2 * n * h * width * c * o * 9
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            # Overlapping halo windows over the pre-padded H axis: window
-            # th+2, stride th. Mosaic requires all-or-none Element dims, so
-            # every axis uses Element with explicit element offsets.
             pl.BlockSpec(
-                (Element(1), Element(th + 2), Element(width + 2), Element(c)),
+                (Element(1), Element(th + 2), Element(wb), Element(cp)),
                 lambda bn, i, j: (bn, i * th, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((3, 3, c, to), lambda bn, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cp, to), lambda bn, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((to,), lambda bn, i, j: (j,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, width, to), lambda bn, i, j: (bn, i, 0, j), memory_space=pltpu.VMEM
+            (1, th, wo, to), lambda bn, i, j: (bn, i, 0, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h, width, o), out_dtype),
-        scratch_shapes=[pltpu.VMEM((th * width, to), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n, n_h_blocks * th, wo, op), out_dtype),
+        scratch_shapes=[pltpu.VMEM((th * wo, to), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * x.dtype.itemsize * 2, transcendentals=0
         ),
         interpret=interpret,
-    )(xp, w, b)
+    )(xp, wp, bp)
+    return out[:, :h, :width, :o]

@@ -312,14 +312,23 @@ class Trainer:
         epochs = max_epochs if max_epochs is not None else cfg.epochs
         stopped = False
         epoch = start_epoch - 1
+        profiling = False
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
+            if cfg.profile_dir and epoch == start_epoch + 1 and not profiling:
+                # Trace one post-compile epoch (SURVEY.md §5.1: the TPU
+                # replacement for nvtx/cudnn.benchmark-style tracing).
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
             train_loader.set_epoch(epoch)
             train_hist = []
             for batch in train_loader:
                 state, logs = self._train_step(state, _array_batch(batch))
                 train_hist.append(logs)
             tr = _epoch_reduce(train_hist)
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
 
             val_hist = [self._eval_step(state, _array_batch(b)) for b in val_loader]
             vl = _epoch_reduce(val_hist)

@@ -1,0 +1,87 @@
+"""Aux components: chunked pixelwise inference, fold-bn surgery on the CLI
+path, segmap rendering units, experiment logger, kfold driver smoke run."""
+
+import csv
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperpri_tpu.models import SpectralUNET
+from hyperpri_tpu.ops.chunked import apply_pixelwise_chunked
+from hyperpri_tpu.utils.logging import ExperimentLogger
+from hyperpri_tpu.utils.segmaps import overlay_mask, to_display_rgb
+
+
+def test_chunked_matches_full():
+    model = SpectralUNET(hsi_depth=10, n_classes=1, bn_feats=12)
+    x = jax.random.normal(jax.random.key(0), (2, 7, 9, 10))
+    variables = model.init(jax.random.key(1), x, train=False)
+    full = model.apply(variables, x, train=False)
+    chunked = apply_pixelwise_chunked(model, variables, x, chunk=16)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-5)
+
+
+def test_overlay_palette():
+    pred = np.array([[True, False], [True, False]])
+    gt = np.array([[True, True], [False, False]])
+    out = overlay_mask(pred, gt)
+    np.testing.assert_allclose(out[0, 0], [155 / 255, 191 / 255, 133 / 255])  # agree: green
+    np.testing.assert_allclose(out[0, 1], [5 / 255, 133 / 255, 176 / 255])  # gt only: blue
+    np.testing.assert_allclose(out[1, 0], [202 / 255, 0, 32 / 255])  # pred only: red
+    np.testing.assert_allclose(out[1, 1], [0, 0, 0])  # neither
+
+
+def test_hsi_pseudo_rgb_gamma():
+    img = np.random.default_rng(0).uniform(0, 1, (4, 5, 238)).astype(np.float32)
+    rgb = to_display_rgb(img, "HSI")
+    assert rgb.shape == (4, 5, 3)
+    np.testing.assert_allclose(rgb[..., 0], img[..., 125] ** (1 / 2.2), rtol=1e-5)
+    np.testing.assert_allclose(rgb[..., 2], img[..., 0] ** (1 / 2.2), rtol=1e-5)
+
+
+def test_experiment_logger(tmp_path):
+    logger = ExperimentLogger(str(tmp_path), hparams={"lr": 0.001, "skip": object()})
+    logger.log_metrics({"tr_loss": 1.5, "val_dice": jnp.asarray(0.25)}, step=0)
+    logger.log_metrics({"tr_loss": 1.2, "val_dice": 0.5}, step=1)
+    with open(os.path.join(tmp_path, "LOGS", "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2 and float(rows[1]["val_dice"]) == 0.5
+    with open(os.path.join(tmp_path, "LOGS", "hparams.json")) as f:
+        assert json.load(f)["lr"] == 0.001
+
+
+@pytest.fixture(scope="module")
+def cli_workdir(tmp_path_factory):
+    """One split, one epoch, RGB on synthetic data through the real driver."""
+    from hyperpri_tpu.cli import kfold_train
+    from hyperpri_tpu.data.synthetic import make_experiment_tree
+
+    path = str(tmp_path_factory.mktemp("cli"))
+    make_experiment_tree(path, n_boxes=2, dates_per_box=1, size_hw=(16, 16), bands=4)
+    kfold_train(
+        ["--calling-path", path, "--dataset", "RGB", "--num-splits", "1", "--max-epochs", "1"]
+    )
+    return path
+
+
+def test_kfold_train_cli_smoke(cli_workdir):
+    ckpts = glob.glob(os.path.join(cli_workdir, "Saved_Models", "RGB", "UNET", "Run_1",
+                                   "Checkpoints", "*.ckpt"))
+    assert ckpts, "driver did not produce checkpoints"
+
+
+def test_kfold_segmaps_cli_smoke(cli_workdir):
+    from hyperpri_tpu.cli import kfold_segmaps
+
+    # use the val split as test.json stand-in
+    test_json = os.path.join(cli_workdir, "Datasets", "HyperPRI", "data_splits", "val1.json")
+    kfold_segmaps(["--calling-path", cli_workdir, "--models", "UNET",
+                   "--num-splits", "1", "--test-json", test_json])
+    maps = glob.glob(os.path.join(cli_workdir, "Saved_Models", "RGB",
+                                  "Val_Segmentation_Maps", "**", "*_seg.png"), recursive=True)
+    assert maps, "segmaps not rendered"
