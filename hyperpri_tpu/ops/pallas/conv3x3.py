@@ -3,21 +3,22 @@
 The hot op of every model in this framework (SURVEY.md §2.2: cuDNN conv
 kernels are the reference's FLOP carrier). Design:
 
-  - implicit GEMM: for each (batch, H-tile, Cout-tile) grid cell, the kernel
-    holds an (TH+2, Wb, Cp) input halo block and the (3, 3, Cp, TO) weight
-    block in VMEM and issues 9 shifted (TH*Wo, Cp) x (Cp, TO) matmuls on the
-    MXU, accumulating in float32 VMEM scratch;
+  - implicit GEMM over a (batch, H-tile, Cout-tile, Cin-tile) grid: each
+    step holds an (TH+2, Wb, 128) input halo block and a (3, 3, 128, TO)
+    weight block in VMEM and issues 9 shifted (TH*Wo, 128) x (128, TO)
+    matmuls on the MXU, accumulating in float32 VMEM scratch across the
+    (innermost) Cin-tile grid axis;
   - the H halo comes from overlapping Element-indexed windows (stride TH,
     size TH+2) over an input pre-padded so no window is out of bounds;
-  - W and C are zero-padded to multiples of 8 (Mosaic block-shape rule);
-    padded lanes multiply against zero weights, so outputs are exact;
-  - bias add + optional ReLU fused into the epilogue, output cast to the
-    compute dtype (bf16 by default).
+    Element-indexed blocks are kept to a single 128-lane tile (Mosaic
+    limitation) — hence the Cin grid axis;
+  - W is zero-padded to a multiple of 8, C to a multiple of 128 (zero
+    weights for the padding lanes -> exact outputs);
+  - bias add + optional ReLU fused into the epilogue on the last Cin step.
 
-Numerical contract: float32 accumulation regardless of input dtype
-(preferred_element_type), matching XLA's conv on TPU. Validated exact vs
-jax.lax.conv_general_dilated on TPU hardware and in interpret mode
-(tests/test_pallas_conv.py).
+Numerical contract: float32 accumulation regardless of input dtype,
+matching XLA's conv on TPU. Validated exact vs jax.lax.conv_general_dilated
+on TPU hardware and in interpret mode (tests/test_pallas_conv.py).
 """
 
 from __future__ import annotations
@@ -34,32 +35,38 @@ from jax.experimental.pallas import tpu as pltpu
 # which is what overlapping halo windows need (stride th, window th+2).
 from jax._src.pallas.core import Element  # noqa: E402  (not yet re-exported)
 
+LANE = 128
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 def _conv_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, th: int, wo: int, relu: bool):
-    cp = x_ref.shape[-1]
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    c_idx = pl.program_id(3)
+    n_c = pl.num_programs(3)
+
+    @pl.when(c_idx == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     for dh in range(3):
         for dw in range(3):
             xs = x_ref[0, dh : dh + th, dw : dw + wo, :]
-            # Contract in <=128-lane channel chunks: the (th, wo, c)->(th*wo, c)
-            # collapse is only safe within a single lane tile on Mosaic.
-            for c0 in range(0, cp, 128):
-                cs = min(128, cp - c0)
-                xs2 = xs[..., c0 : c0 + cs].reshape(th * wo, cs)
-                acc_ref[...] += jax.lax.dot_general(
-                    xs2,
-                    w_ref[dh, dw, c0 : c0 + cs, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-    y = acc_ref[...] + b_ref[...].astype(jnp.float32)
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    o_ref[...] = y.reshape(1, th, wo, o_ref.shape[-1]).astype(o_ref.dtype)
+            xs2 = xs.reshape(th * wo, xs.shape[-1])
+            acc_ref[...] += jax.lax.dot_general(
+                xs2,
+                w_ref[dh, dw],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(c_idx == n_c - 1)
+    def _():
+        y = acc_ref[...] + b_ref[...].astype(jnp.float32)
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        o_ref[...] = y.reshape(1, th, wo, o_ref.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -71,7 +78,7 @@ def conv3x3_bias_act(
     b: jnp.ndarray,
     *,
     relu: bool = True,
-    th: int = 8,
+    th: int = 16,
     to: Optional[int] = None,
     out_dtype=None,
     interpret: bool = False,
@@ -83,11 +90,12 @@ def conv3x3_bias_act(
     out_dtype = out_dtype or x.dtype
     th = min(th, _round_up(h, 8))
 
-    # Alignment (Mosaic: trailing two block dims divisible by 8).
+    # Alignment: Mosaic wants trailing two block dims divisible by 8; the
+    # Element-indexed input block must stay within one 128-lane tile.
     wo = _round_up(width, 8)       # output/compute width
     wb = _round_up(wo + 2, 8)      # input block width (halo included)
-    cp = _round_up(c, 8)           # input channels
-    to = _round_up(min(to or 128, _round_up(o, 8)), 8)
+    cp = _round_up(c, LANE)        # input channels: whole lane tiles
+    to = _round_up(min(to or LANE, _round_up(o, 8)), 8)
     op = _round_up(o, to)          # output channels: whole number of tiles
 
     n_h_blocks = pl.cdiv(h, th)
@@ -99,7 +107,7 @@ def conv3x3_bias_act(
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, cp - c), (0, op - o)))
     bp = jnp.pad(b, (0, op - o))
 
-    grid = (n, n_h_blocks, op // to)
+    grid = (n, n_h_blocks, op // to, cp // LANE)  # Cin innermost: accumulate
     kernel = functools.partial(_conv_kernel, th=th, wo=wo, relu=relu)
     flops = 2 * n * h * width * c * o * 9
 
@@ -108,15 +116,17 @@ def conv3x3_bias_act(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (Element(1), Element(th + 2), Element(wb), Element(cp)),
-                lambda bn, i, j: (bn, i * th, 0, 0),
+                (Element(1), Element(th + 2), Element(wb), Element(LANE)),
+                lambda bn, i, j, k: (bn, i * th, 0, k * LANE),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((3, 3, cp, to), lambda bn, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to,), lambda bn, i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3, 3, LANE, to), lambda bn, i, j, k: (0, 0, k, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((to,), lambda bn, i, j, k: (j,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, wo, to), lambda bn, i, j: (bn, i, 0, j), memory_space=pltpu.VMEM
+            (1, th, wo, to), lambda bn, i, j, k: (bn, i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, n_h_blocks * th, wo, op), out_dtype),
         scratch_shapes=[pltpu.VMEM((th * wo, to), jnp.float32)],
