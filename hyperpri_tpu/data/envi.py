@@ -139,6 +139,10 @@ def read_cube(
         band_hi = hdr.bands
     if not (0 <= band_lo < band_hi <= hdr.bands):
         raise ValueError(f"invalid band window [{band_lo}, {band_hi}) of {hdr.bands}")
+    expected = hdr.lines * hdr.samples * hdr.bands * hdr.dtype.itemsize + hdr.header_offset
+    actual = os.path.getsize(dat_path)
+    if actual < expected:
+        raise ValueError(f"{dat_path}: file too small for header ({actual} < {expected} bytes)")
 
     if use_native:
         try:

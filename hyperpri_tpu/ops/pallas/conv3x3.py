@@ -3,18 +3,20 @@
 The hot op of every model in this framework (SURVEY.md §2.2: cuDNN conv
 kernels are the reference's FLOP carrier). Design:
 
-  - implicit GEMM over a (batch, H-tile, Cout-tile, Cin-tile) grid: each
-    step holds an (TH+2, Wb, 128) input halo block and a (3, 3, 128, TO)
-    weight block in VMEM and issues 9 shifted (TH*Wo, 128) x (128, TO)
-    matmuls on the MXU, accumulating in float32 VMEM scratch across the
-    (innermost) Cin-tile grid axis;
+  - implicit GEMM over a (batch, H-tile, Cout-tile) grid: each step holds
+    (TH+2, Wb, <=128) input halo blocks and the (3, 3, C, TO) weight block
+    in VMEM and issues 9 shifted (TH*Wo, 128) x (128, TO) matmuls per
+    channel chunk on the MXU, accumulating in float32 VMEM scratch;
   - the H halo comes from overlapping Element-indexed windows (stride TH,
-    size TH+2) over an input pre-padded so no window is out of bounds;
-    Element-indexed blocks are kept to a single 128-lane tile (Mosaic
-    limitation) — hence the Cin grid axis;
+    size TH+2) over an input pre-padded so no window is out of bounds.
+    Mosaic constraints found empirically on v5e: trailing two block dims
+    divisible by 8; an Element-indexed block must stay within a single
+    128-lane tile and its lane axis must not be grid-stepped — so inputs
+    with more than 128 channels are passed as separate pre-split chunk
+    arrays rather than a fourth grid axis;
   - W is zero-padded to a multiple of 8, C to a multiple of 128 (zero
     weights for the padding lanes -> exact outputs);
-  - bias add + optional ReLU fused into the epilogue on the last Cin step.
+  - bias add + optional ReLU fused into the epilogue.
 
 Numerical contract: float32 accumulation regardless of input dtype,
 matching XLA's conv on TPU. Validated exact vs jax.lax.conv_general_dilated
@@ -42,31 +44,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, th: int, wo: int, relu: bool):
-    c_idx = pl.program_id(3)
-    n_c = pl.num_programs(3)
+def _conv_kernel(*refs, th: int, wo: int, relu: bool, n_chunks: int):
+    x_refs = refs[:n_chunks]
+    w_ref, b_ref, o_ref, acc_ref = refs[n_chunks : n_chunks + 4]
 
-    @pl.when(c_idx == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    for dh in range(3):
-        for dw in range(3):
-            xs = x_ref[0, dh : dh + th, dw : dw + wo, :]
-            xs2 = xs.reshape(th * wo, xs.shape[-1])
-            acc_ref[...] += jax.lax.dot_general(
-                xs2,
-                w_ref[dh, dw],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-    @pl.when(c_idx == n_c - 1)
-    def _():
-        y = acc_ref[...] + b_ref[...].astype(jnp.float32)
-        if relu:
-            y = jnp.maximum(y, 0.0)
-        o_ref[...] = y.reshape(1, th, wo, o_ref.shape[-1]).astype(o_ref.dtype)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for k, x_ref in enumerate(x_refs):
+        for dh in range(3):
+            for dw in range(3):
+                xs = x_ref[0, dh : dh + th, dw : dw + wo, :]
+                xs2 = xs.reshape(th * wo, xs.shape[-1])
+                acc_ref[...] += jax.lax.dot_general(
+                    xs2,
+                    w_ref[dh, dw, k * LANE : k * LANE + xs.shape[-1], :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    y = acc_ref[...] + b_ref[...].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[...] = y.reshape(1, th, wo, o_ref.shape[-1]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -90,13 +87,12 @@ def conv3x3_bias_act(
     out_dtype = out_dtype or x.dtype
     th = min(th, _round_up(h, 8))
 
-    # Alignment: Mosaic wants trailing two block dims divisible by 8; the
-    # Element-indexed input block must stay within one 128-lane tile.
     wo = _round_up(width, 8)       # output/compute width
     wb = _round_up(wo + 2, 8)      # input block width (halo included)
     cp = _round_up(c, LANE)        # input channels: whole lane tiles
     to = _round_up(min(to or LANE, _round_up(o, 8)), 8)
     op = _round_up(o, to)          # output channels: whole number of tiles
+    n_chunks = cp // LANE
 
     n_h_blocks = pl.cdiv(h, th)
     # Pad: 1-px SAME border; bottom so halo windows (stride th, size th+2)
@@ -104,29 +100,29 @@ def conv3x3_bias_act(
     # right/channel to alignment. All padding is zeros -> exact outputs.
     bottom = n_h_blocks * th - h + 1
     xp = jnp.pad(x, ((0, 0), (1, bottom), (1, wb - width - 1), (0, cp - c)))
+    x_chunks = [xp[..., k * LANE : (k + 1) * LANE] for k in range(n_chunks)]
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, cp - c), (0, op - o)))
     bp = jnp.pad(b, (0, op - o))
 
-    grid = (n, n_h_blocks, op // to, cp // LANE)  # Cin innermost: accumulate
-    kernel = functools.partial(_conv_kernel, th=th, wo=wo, relu=relu)
+    grid = (n, n_h_blocks, op // to)
+    kernel = functools.partial(_conv_kernel, th=th, wo=wo, relu=relu, n_chunks=n_chunks)
     flops = 2 * n * h * width * c * o * 9
 
+    x_spec = pl.BlockSpec(
+        (Element(1), Element(th + 2), Element(wb), Element(LANE)),
+        lambda bn, i, j: (bn, i * th, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (Element(1), Element(th + 2), Element(wb), Element(LANE)),
-                lambda bn, i, j, k: (bn, i * th, 0, k * LANE),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (3, 3, LANE, to), lambda bn, i, j, k: (0, 0, k, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((to,), lambda bn, i, j, k: (j,), memory_space=pltpu.VMEM),
+        in_specs=[x_spec] * n_chunks
+        + [
+            pl.BlockSpec((3, 3, cp, to), lambda bn, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to,), lambda bn, i, j: (j,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, wo, to), lambda bn, i, j, k: (bn, i, 0, j), memory_space=pltpu.VMEM
+            (1, th, wo, to), lambda bn, i, j: (bn, i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, n_h_blocks * th, wo, op), out_dtype),
         scratch_shapes=[pltpu.VMEM((th * wo, to), jnp.float32)],
@@ -134,5 +130,5 @@ def conv3x3_bias_act(
             flops=flops, bytes_accessed=x.size * x.dtype.itemsize * 2, transcendentals=0
         ),
         interpret=interpret,
-    )(xp, wp, bp)
+    )(*x_chunks, wp, bp)
     return out[:, :h, :width, :o]
