@@ -198,9 +198,10 @@ def best_threshold_from_pr(precision, recall, thresholds, crop_frac: int = 100):
     Returns (best_threshold, precision_at_best, recall_at_best).
     """
     pr_crop = int(len(precision) // crop_frac)
-    tp = precision[pr_crop:-pr_crop]
-    tr = recall[pr_crop:-pr_crop]
-    tt = thresholds[pr_crop:-pr_crop]
+    end = -pr_crop if pr_crop else None  # guard: short curves are not cropped
+    tp = precision[pr_crop:end]
+    tr = recall[pr_crop:end]
+    tt = thresholds[pr_crop:end]
     dice = _safe_div(2 * tp * tr, tp + tr)
     idx = jnp.argmax(dice)
     best = jnp.round(tt[idx] * 100) / 100
