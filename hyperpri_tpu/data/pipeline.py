@@ -59,6 +59,7 @@ class DataLoader:
         prefetch: int = 2,
         device_put: bool = True,
         sharding=None,
+        weighted: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -67,6 +68,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.device_put = device_put
         self.sharding = sharding
+        # Inverse-frequency weighted sampling from dataset.sample_weights
+        # (the weights the reference computes at dataset.py:76-82 but never
+        # consumes; opt-in here).
+        self.weighted = weighted
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -79,7 +84,13 @@ class DataLoader:
     def _batches(self) -> Iterator[Dict]:
         n = len(self.dataset)
         order = np.arange(n)
-        if self.shuffle:
+        if self.weighted:
+            w = np.asarray(self.dataset.sample_weights, np.float64)
+            p = w / w.sum()
+            order = np.random.default_rng((self.seed, self.epoch)).choice(
+                n, size=n, replace=True, p=p
+            )
+        elif self.shuffle:
             order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
         crop_rng = np.random.default_rng((self.seed + 1, self.epoch))
         for start in range(0, n, self.batch_size):

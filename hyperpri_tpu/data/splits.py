@@ -125,6 +125,60 @@ def parse_split_json(
     return index
 
 
+def parse_split_csv(
+    csv_path: str,
+    root: str,
+    mode: str = "rgb",
+    class_list: Optional[List[str]] = None,
+    require_exists: bool = True,
+) -> SplitIndex:
+    """Resolve a CSV split mirror (one `{date}_{box}_ref` basename per line,
+    the format shipped next to each JSON in data_splits/*.csv).
+
+    Basenames carry no plant/resolution, so files are located by scanning the
+    `{root}/{Plant}_{WxH}/` directories for each name.
+    """
+    import glob as _glob
+
+    class_list = class_list or DEFAULT_CLASS_LIST
+    with open(csv_path) as f:
+        names = [line.strip() for line in f if line.strip()]
+
+    plant_dirs = sorted(
+        d for d in _glob.glob(os.path.join(root, "*_*")) if os.path.isdir(d)
+    )
+    index = SplitIndex(class_count={c: 0 for c in class_list})
+    for name in names:
+        box = name.split("_")[1] if "_" in name else ""
+        date = name.split("_")[0]
+        for d in plant_dirs:
+            plant = os.path.basename(d).rsplit("_", 1)[0]
+            if plant not in class_list:
+                continue
+            img = os.path.join(d, "rgb_files", f"{name}.png")
+            label = os.path.join(d, "mask_files", f"{name}_mask.png")
+            hdr = os.path.join(d, "hsi_files", "hinalea_hsi.hdr")
+            dat = os.path.join(d, "hsi_files", f"{name}.dat")
+            needed = [label, hdr, dat] if mode.lower() == "hsi" else [img, label]
+            if require_exists and not all(os.path.exists(p) for p in needed):
+                continue
+            index.entries.append(
+                SplitEntry(
+                    name=name,
+                    img=img,
+                    label=label,
+                    hdr=hdr if mode.lower() == "hsi" else None,
+                    dat=dat if mode.lower() == "hsi" else None,
+                    box=box,
+                    plant_folder=plant,
+                    date=date,
+                )
+            )
+            index.class_count[plant] += 1
+            break
+    return index
+
+
 def write_split_json(path: str, boxes: Dict[str, dict], img_dir="rgb_files",
                      hsi_dir="hsi_files", mask_dir="mask_files") -> None:
     """Write a split JSON in the reference schema (test fixtures)."""

@@ -59,3 +59,18 @@ def sample_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(**kwargs) -> bool:
+    """Multi-host bring-up: jax.distributed.initialize when launched as one
+    process per host (the multi-slice/DCN analog of the reference's implicit
+    torchrun rank plumbing, SURVEY.md §5.8). No-op for single-process runs.
+
+    Returns True if a multi-process runtime was initialized.
+    """
+    import os
+
+    if int(os.environ.get("JAX_NUM_PROCESSES", os.environ.get("SLURM_NTASKS", "1"))) <= 1:
+        return False
+    jax.distributed.initialize(**kwargs)
+    return True

@@ -238,3 +238,41 @@ def test_dataloader_epoch_determinism_and_prefetch(synth):
     import jax
 
     assert isinstance(batch["image"], jax.Array)
+
+
+def test_parse_split_csv(synth, tmp_path):
+    from hyperpri_tpu.data.splits import parse_split_csv
+
+    csv_path = tmp_path / "train1.csv"
+    csv_path.write_text("20220701_box33_ref\n20220702_box33_ref\nmissing_box99_ref\n")
+    idx = parse_split_csv(str(csv_path), synth["root"], mode="rgb")
+    assert len(idx) == 2
+    assert idx.entries[0].name == "20220701_box33_ref"
+    assert idx.entries[0].plant_folder == "Peanut"
+    idx_hsi = parse_split_csv(str(csv_path), synth["root"], mode="hsi")
+    assert len(idx_hsi) == 2 and idx_hsi.entries[0].dat.endswith(".dat")
+
+
+def test_weighted_sampler_oversamples_minority(tmp_path):
+    from hyperpri_tpu.data.splits import write_split_json
+    from hyperpri_tpu.data.synthetic import make_box, make_synthetic_dataset
+
+    info = make_synthetic_dataset(str(tmp_path), n_boxes=3, dates_per_box=2,
+                                  size_hw=(8, 8), bands=4)
+    rng = np.random.default_rng(0)
+    make_box(str(tmp_path), "SweetCorn", "8x8", "box50", ["20220701"], (8, 8), 4, rng)
+    boxes = dict(info["boxes"])
+    boxes["box50"] = {"plant_folder": "SweetCorn", "resolution": "8x8", "box_no": 50,
+                      "phenotype": 1, "dates": ["20220701"], "weights": None}
+    split = str(tmp_path / "data_splits" / "mix.json")
+    write_split_json(split, boxes)
+    ds = HyperpriDataset(str(tmp_path), mode="RGB", json_file=split)
+    dl = DataLoader(ds, batch_size=7, shuffle=True, weighted=True, device_put=False, seed=1)
+    names = []
+    for epoch in range(30):
+        dl.set_epoch(epoch)
+        for b in dl:
+            names += [n for n in b["names"] if n]
+    corn = sum("box50" in n for n in names) / len(names)
+    # 1 corn of 7 images unweighted ~14%; inverse-frequency weighting -> ~50%
+    assert corn > 0.3
