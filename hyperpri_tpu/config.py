@@ -143,6 +143,7 @@ class ExperimentConfig:
             "hsi_hi": self.hsi_hi,
             "spectral_bn_size": self.spectral_bn_size,
             "3d_featmaps": self.cube_featmaps,
+            "remat": self.remat,
         }
 
     def get_network(self):

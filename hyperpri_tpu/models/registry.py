@@ -40,6 +40,7 @@ def initialize_model(
             hsi_depth=depth,
             n_classes=num_classes,
             bn_feats=network_parameters["spectral_bn_size"],
+            remat=network_parameters.get("remat", False),
             dtype=dtype,
         )
     if name == "cubenet":

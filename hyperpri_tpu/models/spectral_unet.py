@@ -23,7 +23,7 @@ hyperpri_tpu/parallel) plus optional remat of each block (`remat=True`).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -46,7 +46,13 @@ class SpectralBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, skip: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if skip is not None:
+            # Concat *inside* the (possibly rematted) unit: under remat only
+            # the two halves are saved as residuals, never the doubled-width
+            # concat buffer — the difference between SpectralUNET training
+            # fitting in one chip's HBM or not at full resolution.
+            x = jnp.concatenate([skip, x], axis=-1)
         x = nn.Dense(self.feats, dtype=self.dtype, name="linear")(x)
         if self.bnorm and not self.fused_bn:
             x = TorchBatchNorm(name="bn")(x, use_running_average=not self.train)
@@ -85,10 +91,16 @@ class SpectralUNET(nn.Module):
         x4 = mk("down4")(x3)
 
         u = mk("up1")(x4)
-        u = mk("up2")(jnp.concatenate([x3, u], axis=-1))
-        u = mk("up3")(jnp.concatenate([x2, u], axis=-1))
-        u = mk("up4")(jnp.concatenate([x1, u], axis=-1))
-        out = nn.Dense(self.n_classes, dtype=self.dtype, name="outc")(
-            jnp.concatenate([x0, u], axis=-1)
-        )
+        u = mk("up2")(u, x3)
+        u = mk("up3")(u, x2)
+        u = mk("up4")(u, x1)
+
+        # Head: concat kept inside the rematted unit (same residual-memory
+        # reason), with the Dense named 'outc' for checkpoint-layout parity.
+        outc = nn.Dense(self.n_classes, dtype=self.dtype, name="outc")
+
+        def head(mdl, uu, xx0):
+            return mdl(jnp.concatenate([xx0, uu], axis=-1))
+
+        out = (nn.remat(head) if self.remat else head)(outc, u, x0)
         return out.astype(jnp.float32).reshape(n, h, w, self.n_classes)

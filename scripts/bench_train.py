@@ -50,7 +50,10 @@ def main():
         channels = cfg.channels
     cfg.precision = args.precision
     if args.model == "SpectralUNET":
-        # full-res SpectralUNET needs remat + (reference protocol) a W crop
+        # full-res SpectralUNET needs remat + (reference protocol) a W crop;
+        # single-chip also needs batch 1 (the reference needed 2 GPUs under
+        # ZeRO-2 for batch 2; multi-chip spatial sharding covers that here)
+        cfg.remat = True
         args.width = args.spectral_crop or 700
     h, w = args.height, args.width
 
