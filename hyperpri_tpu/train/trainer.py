@@ -37,12 +37,7 @@ from hyperpri_tpu.ops.metrics import (
     dice_from_stats,
     jaccard_from_stats,
 )
-from hyperpri_tpu.parallel.mesh import (
-    batch_sharding,
-    make_mesh,
-    replicated,
-    sample_sharding,
-)
+from hyperpri_tpu.parallel.mesh import batch_sharding, make_mesh, sample_sharding
 from hyperpri_tpu.parallel.sharding import replicated_like, zero_opt_state_shardings
 from hyperpri_tpu.train.checkpoint import (
     DualCheckpointManager,
@@ -256,12 +251,10 @@ class Trainer:
             self._eval_step = jax.jit(evals)
             self._predict_step = jax.jit(predict)
         else:
-            rep = replicated(self.mesh)
-            out_logs = None  # let XLA choose
             self._train_step = jax.jit(
                 train,
                 in_shardings=(state_sh, batch_sh),
-                out_shardings=(state_sh, out_logs),
+                out_shardings=(state_sh, None),  # logs: let XLA choose
                 donate_argnums=0,
             )
             self._eval_step = jax.jit(evals, in_shardings=(state_sh, batch_sh))
