@@ -94,6 +94,19 @@ def conv3x3_bias_act(
     op = _round_up(o, to)          # output channels: whole number of tiles
     n_chunks = cp // LANE
 
+    # Auto-fit the H tile to the ~16 MB scoped-VMEM budget: double-buffered
+    # input chunks + weights + output, plus the f32 accumulator scratch.
+    def vmem_bytes(th_):
+        esz = x.dtype.itemsize
+        x_b = 2 * n_chunks * (th_ + 2) * wb * LANE * esz
+        w_b = 2 * 9 * cp * to * w.dtype.itemsize
+        o_b = 2 * th_ * wo * to * jnp.dtype(out_dtype).itemsize
+        acc = th_ * wo * to * 4
+        return x_b + w_b + o_b + acc
+
+    while th > 4 and vmem_bytes(th) > 12 * 1024 * 1024:
+        th //= 2
+
     n_h_blocks = pl.cdiv(h, th)
     # Pad: 1-px SAME border; bottom so halo windows (stride th, size th+2)
     # never leave the array (OOB Element reads clamp and would shift tiles);
