@@ -131,7 +131,13 @@ class DataLoader:
             if self.device_put:
                 names = b.pop("names")
                 arrays = {k: v for k, v in b.items()}
-                if self.sharding is not None:
+                if isinstance(self.sharding, dict):
+                    arrays = {
+                        k: jax.device_put(v, self.sharding[k]) if k in self.sharding
+                        else jax.device_put(v)
+                        for k, v in arrays.items()
+                    }
+                elif self.sharding is not None:
                     arrays = jax.device_put(arrays, self.sharding)
                 else:
                     arrays = jax.device_put(arrays)

@@ -60,10 +60,13 @@ def _conv_kernel(*refs, th: int, wo: int, relu: bool, n_chunks: int):
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-    y = acc_ref[...] + b_ref[...].astype(jnp.float32)
+    to = o_ref.shape[-1]
+    j = pl.program_id(2)
+    bias = b_ref[pl.ds(pl.multiple_of(j * to, to), to)]
+    y = acc_ref[...] + bias.astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
-    o_ref[...] = y.reshape(1, th, wo, o_ref.shape[-1]).astype(o_ref.dtype)
+    o_ref[...] = y.reshape(1, th, wo, to).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -132,7 +135,7 @@ def conv3x3_bias_act(
         in_specs=[x_spec] * n_chunks
         + [
             pl.BlockSpec((3, 3, cp, to), lambda bn, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to,), lambda bn, i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((op,), lambda bn, i, j: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, th, wo, to), lambda bn, i, j: (bn, i, 0, j), memory_space=pltpu.VMEM

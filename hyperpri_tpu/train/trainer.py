@@ -459,14 +459,19 @@ def train_net(
             cfg.mesh_shape = {"data": data, "spatial": ndev // data}
 
     trainer = Trainer(cfg)
+    batch_sh = trainer._batch_shardings()  # loader shards batches on ingest
     train_loader = DataLoader(
         cfg.get_train_data(),
         trainer.effective_batch(cfg.b_size["train"]),
         shuffle=True,
         seed=cfg.run_num,
+        sharding=batch_sh,
     )
     val_loader = DataLoader(
-        cfg.get_val_data(), trainer.effective_batch(cfg.b_size["val"]), shuffle=False
+        cfg.get_val_data(),
+        trainer.effective_batch(cfg.b_size["val"]),
+        shuffle=False,
+        sharding=batch_sh,
     )
     resume = find_resume_checkpoint(cfg.save_path) if checkpoint else None
     trainer.fit_result = trainer.fit(

@@ -133,3 +133,22 @@ def test_batch_sharding_layout():
     x = jnp.zeros((4, 32, 16, 3))
     xs = jax.device_put(x, bs)
     assert xs.sharding.spec == P("data", "spatial")
+
+
+def test_train_net_with_mesh_e2e(tmp_path):
+    """Full fit through train_net with mesh_shape set: loaders shard batches
+    on ingest, steps run SPMD, checkpoints round-trip."""
+    from hyperpri_tpu.data.synthetic import make_experiment_tree
+    from hyperpri_tpu.train.trainer import train_net
+
+    make_experiment_tree(str(tmp_path), n_boxes=2, dates_per_box=2, size_hw=(16, 16), bands=8)
+    cfg = _tiny_cfg(mesh_shape={"data": 2, "spatial": 4}, zero_shard_opt=True)
+    cfg.calling_path = str(tmp_path)
+    cfg.__post_init__()  # recompute paths for the new calling_path
+    cfg.hsi_lo, cfg.hsi_hi = 0, 8
+    cfg.channels = 8
+    trainer = train_net(cfg, max_epochs=2, progress=False)
+    assert trainer.fit_result.epochs_run == 2
+    import numpy as np
+
+    assert np.isfinite(trainer.fit_result.best_val_loss)
