@@ -43,6 +43,21 @@ def _make_config(dataset: str, calling_path: str, split_no: int, seed_num: int, 
     )
 
 
+def rename_folder(save_path: str) -> Optional[str]:
+    """Archive an existing run directory with a timestamp suffix (reference
+    kfold_train.py:32-45; defined there but commented out at the call site —
+    exposed here behind --archive-existing)."""
+    import datetime
+
+    if not os.path.exists(save_path):
+        return None
+    now = datetime.datetime.now()
+    suffix = f"_{now.year}{now.month}{now.day}_{now.hour}{now.minute}{now.second}"
+    target = save_path.rstrip("/") + suffix + "/"
+    os.rename(save_path, target)
+    return target
+
+
 def kfold_train(argv: Optional[List[str]] = None) -> None:
     p = argparse.ArgumentParser(description="5-split cross-validation training")
     p.add_argument("--calling-path", default=os.getcwd())
@@ -59,6 +74,8 @@ def kfold_train(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--validate", action="store_true",
                    help="run the threshold sweep after each training run")
+    p.add_argument("--archive-existing", action="store_true",
+                   help="timestamp-rename an existing run dir instead of resuming into it")
     args = p.parse_args(argv)
 
     from hyperpri_tpu.train import train_net, validate_net
@@ -70,6 +87,10 @@ def kfold_train(argv: Optional[List[str]] = None) -> None:
         for seed_idx in range(args.n_seeds):
             print(f"        Seed {seed_idx + 1} / {args.n_seeds}.....")
             cfg = _make_config(args.dataset, args.calling_path, run + 1, seed_idx, args.augment)
+            if args.archive_existing:
+                archived = rename_folder(cfg.save_path)
+                if archived:
+                    print(f"archived previous run to {archived}")
             train_net(cfg, checkpoint=load_ckpt, model_parallel=args.model_shard,
                       max_epochs=args.max_epochs)
             if args.n_seeds > 1 or args.validate:

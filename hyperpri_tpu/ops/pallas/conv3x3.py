@@ -61,9 +61,7 @@ def _conv_kernel(*refs, th: int, wo: int, relu: bool, n_chunks: int):
                     preferred_element_type=jnp.float32,
                 )
     to = o_ref.shape[-1]
-    j = pl.program_id(2)
-    bias = b_ref[pl.ds(pl.multiple_of(j * to, to), to)]
-    y = acc_ref[...] + bias.astype(jnp.float32)
+    y = acc_ref[...] + b_ref[0, :].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
     o_ref[...] = y.reshape(1, th, wo, to).astype(o_ref.dtype)
@@ -118,7 +116,9 @@ def conv3x3_bias_act(
     xp = jnp.pad(x, ((0, 0), (1, bottom), (1, wb - width - 1), (0, cp - c)))
     x_chunks = [xp[..., k * LANE : (k + 1) * LANE] for k in range(n_chunks)]
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, cp - c), (0, op - o)))
-    bp = jnp.pad(b, (0, op - o))
+    # Bias as a 2-D (8, op) tile so each Cout-tile is a standard blocked
+    # read (Mosaic cannot prove dynamic 1-D slices aligned).
+    bp = jnp.broadcast_to(jnp.pad(b, (0, op - o)), (8, op))
 
     grid = (n, n_h_blocks, op // to)
     kernel = functools.partial(_conv_kernel, th=th, wo=wo, relu=relu, n_chunks=n_chunks)
@@ -135,7 +135,7 @@ def conv3x3_bias_act(
         in_specs=[x_spec] * n_chunks
         + [
             pl.BlockSpec((3, 3, cp, to), lambda bn, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((op,), lambda bn, i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, to), lambda bn, i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, th, wo, to), lambda bn, i, j: (bn, i, 0, j), memory_space=pltpu.VMEM
