@@ -26,6 +26,7 @@ from hyperpri_tpu.models.parts import (
     DoubleConv,
     Down,
     OutConv,
+    PallasConv3x3,
     TorchBatchNorm,
     Up,
     pad_to_match,
@@ -41,6 +42,7 @@ class CubeNET(nn.Module):
     use_attention: bool = False
     analyze: bool = False
     fused_bn: bool = False  # serving path: consume ops/fold_bn.py trees
+    use_pallas: bool = False  # serving path: fused Pallas conv kernels
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -56,34 +58,40 @@ class CubeNET(nn.Module):
         x = x.astype(self.dtype)
         # Spectral collapse: Conv3d(1, fd, (D,3,3), pad (0,1,1)) == 2D conv
         # with D input channels (reference models.py:169).
-        x1 = nn.Conv(fd, (3, 3), padding="SAME", dtype=self.dtype, name="first_conv")(x)
-        if not self.fused_bn:
-            x1 = TorchBatchNorm(name="first_bn")(x1, use_running_average=not train)
-        x1 = nn.relu(x1).astype(self.dtype)
+        if self.fused_bn and self.use_pallas:
+            x1 = PallasConv3x3(fd, dtype=self.dtype, name="first_conv")(x)
+        else:
+            x1 = nn.Conv(fd, (3, 3), padding="SAME", dtype=self.dtype, name="first_conv")(x)
+            if not self.fused_bn:
+                x1 = TorchBatchNorm(name="first_bn")(x1, use_running_average=not train)
+            x1 = nn.relu(x1).astype(self.dtype)
         # inc2: single Conv+BN+ReLU to "match UNET's starter DoubleConv"
         # (reference models.py:176-180).
-        x1 = nn.Conv(fd, (3, 3), padding="SAME", dtype=self.dtype, name="inc2_conv")(x1)
-        if not self.fused_bn:
-            x1 = TorchBatchNorm(name="inc2_bn")(x1, use_running_average=not train)
-        x1 = nn.relu(x1).astype(self.dtype)
+        if self.fused_bn and self.use_pallas:
+            x1 = PallasConv3x3(fd, dtype=self.dtype, name="inc2_conv")(x1)
+        else:
+            x1 = nn.Conv(fd, (3, 3), padding="SAME", dtype=self.dtype, name="inc2_conv")(x1)
+            if not self.fused_bn:
+                x1 = TorchBatchNorm(name="inc2_bn")(x1, use_running_average=not train)
+            x1 = nn.relu(x1).astype(self.dtype)
 
-        x2 = Down(c, fused_bn=self.fused_bn, dtype=self.dtype, name="down1")(x1, train=train)
-        x3 = Down(c * 2, fused_bn=self.fused_bn, dtype=self.dtype, name="down2")(x2, train=train)
-        x4 = Down(c * 4, fused_bn=self.fused_bn, dtype=self.dtype, name="down3")(x3, train=train)
-        x5 = Down(c * 8 // factor, fused_bn=self.fused_bn, dtype=self.dtype, name="down4")(x4, train=train)
+        x2 = Down(c, fused_bn=self.fused_bn, use_pallas=self.use_pallas, dtype=self.dtype, name="down1")(x1, train=train)
+        x3 = Down(c * 2, fused_bn=self.fused_bn, use_pallas=self.use_pallas, dtype=self.dtype, name="down2")(x2, train=train)
+        x4 = Down(c * 4, fused_bn=self.fused_bn, use_pallas=self.use_pallas, dtype=self.dtype, name="down3")(x3, train=train)
+        x5 = Down(c * 8 // factor, fused_bn=self.fused_bn, use_pallas=self.use_pallas, dtype=self.dtype, name="down4")(x4, train=train)
 
-        y = Up(c * 8, c * 4, self.bilinear, self.use_attention, self.fused_bn, dtype=self.dtype, name="up1")(
+        y = Up(c * 8, c * 4, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, dtype=self.dtype, name="up1")(
             x5, x4, train=train
         )
-        y = Up(c * 4, c * 2, self.bilinear, self.use_attention, self.fused_bn, dtype=self.dtype, name="up2")(
+        y = Up(c * 4, c * 2, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, dtype=self.dtype, name="up2")(
             y, x3, train=train
         )
-        y = Up(c * 2, c, self.bilinear, self.use_attention, self.fused_bn, dtype=self.dtype, name="up3")(
+        y = Up(c * 2, c, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, dtype=self.dtype, name="up3")(
             y, x2, train=train
         )
 
         if fd == 64:
-            y = Up(c, 64 * factor, self.bilinear, self.use_attention, self.fused_bn, dtype=self.dtype, name="up4")(
+            y = Up(c, 64 * factor, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, dtype=self.dtype, name="up4")(
                 y, x1, train=train
             )
         else:
@@ -91,12 +99,12 @@ class CubeNET(nn.Module):
             # 229-240): upsample, center-pad, concat [x1, y], DoubleConv -> 64.
             if self.bilinear:
                 y = upsample2x_align_corners(y)
-                conv4 = DoubleConv(64, 64, fused_bn=self.fused_bn, dtype=self.dtype, name="upconv4")
+                conv4 = DoubleConv(64, 64, fused_bn=self.fused_bn, use_pallas=self.use_pallas, dtype=self.dtype, name="upconv4")
             else:
                 y = nn.ConvTranspose(
                     64, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype, name="upsample4"
                 )(y)
-                conv4 = DoubleConv(64, fused_bn=self.fused_bn, dtype=self.dtype, name="upconv4")
+                conv4 = DoubleConv(64, fused_bn=self.fused_bn, use_pallas=self.use_pallas, dtype=self.dtype, name="upconv4")
             y = pad_to_match(y, x1.shape[1], x1.shape[2])
             y = conv4(jnp.concatenate([x1, y], axis=-1), train=train)
 

@@ -129,17 +129,54 @@ def pad_to_match(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
     )
 
 
+class PallasConv3x3(nn.Module):
+    """3x3 SAME conv + bias (+ReLU) through the fused Pallas kernel
+    (ops/pallas/conv3x3.py). Parameter layout identical to nn.Conv, so
+    checkpoints and fold_bn trees are interchangeable with the XLA path.
+    Falls back to interpret mode off-TPU (tests)."""
+
+    features: int
+    relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from hyperpri_tpu.ops.pallas.conv3x3 import conv3x3_bias_act
+
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        interpret = jax.default_backend() != "tpu"
+        return conv3x3_bias_act(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            bias.astype(jnp.float32),
+            relu=self.relu,
+            out_dtype=self.dtype,
+            interpret=interpret,
+        )
+
+
 class DoubleConv(nn.Module):
-    """(Conv3x3 -> BN -> ReLU) * 2. Reference: model_parts.py:14-31."""
+    """(Conv3x3 -> BN -> ReLU) * 2. Reference: model_parts.py:14-31.
+
+    Serving path: with fused_bn (BN folded by ops/fold_bn.py) and use_pallas,
+    each half runs as one fused Pallas conv+bias+ReLU kernel."""
 
     out_channels: int
     mid_channels: Optional[int] = None
     fused_bn: bool = False  # inference path: BN folded into conv (ops/fold_bn.py)
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         mid = self.mid_channels if self.mid_channels is not None else self.out_channels
+        if self.fused_bn and self.use_pallas:
+            x = PallasConv3x3(mid, dtype=self.dtype, name="conv1")(x)
+            return PallasConv3x3(self.out_channels, dtype=self.dtype, name="conv2")(x)
         x = nn.Conv(mid, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
         if not self.fused_bn:
             x = TorchBatchNorm(name="bn1")(x, use_running_average=not train)
@@ -159,13 +196,18 @@ class Down(nn.Module):
 
     out_channels: int
     fused_bn: bool = False
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return DoubleConv(
-            self.out_channels, fused_bn=self.fused_bn, dtype=self.dtype, name="conv"
+            self.out_channels,
+            fused_bn=self.fused_bn,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            name="conv",
         )(x, train=train)
 
 
@@ -183,6 +225,7 @@ class Up(nn.Module):
     bilinear: bool = True
     use_attention: bool = False
     fused_bn: bool = False
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -196,6 +239,7 @@ class Up(nn.Module):
                 self.out_channels // 2,
                 self.in_channels // 2,
                 fused_bn=self.fused_bn,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name="conv",
             )
@@ -208,7 +252,7 @@ class Up(nn.Module):
                 dtype=self.dtype,
                 name="up",
             )(x1)
-            conv = DoubleConv(self.out_channels, fused_bn=self.fused_bn, dtype=self.dtype, name="conv")
+            conv = DoubleConv(self.out_channels, fused_bn=self.fused_bn, use_pallas=self.use_pallas, dtype=self.dtype, name="conv")
 
         x1 = pad_to_match(x1, x2.shape[1], x2.shape[2])
         if self.use_attention:

@@ -41,3 +41,18 @@ def test_folded_matches_unfolded_eval(model_fn, shape):
         {"params": folded_params, "batch_stats": {}}, x, train=False
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_pallas_serving_path_matches_xla_path():
+    """fused_bn + use_pallas must equal fused_bn with XLA convs (interpret
+    mode on CPU; exactness on TPU is covered by the kernel benchmarks)."""
+    x = jax.random.normal(jax.random.key(1), (1, 16, 24, 8))
+    base = CubeNET(8, 1, first_depth=8, bilinear=False)
+    variables = randomized_variables(base, x, jax.random.key(0))
+    folded = fold_batch_norm(variables["params"], variables["batch_stats"])
+
+    xla_model = CubeNET(8, 1, first_depth=8, bilinear=False, fused_bn=True)
+    pal_model = CubeNET(8, 1, first_depth=8, bilinear=False, fused_bn=True, use_pallas=True)
+    ref = xla_model.apply({"params": folded, "batch_stats": {}}, x, train=False)
+    out = pal_model.apply({"params": folded, "batch_stats": {}}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
