@@ -23,7 +23,6 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
 

@@ -26,7 +26,6 @@ TPU-first: everything is channel-last numpy float32 ((H, W, C) images,
 
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -18,7 +18,7 @@ conv1->bn1, conv2->bn2, first_conv->first_bn, inc2_conv->inc2_bn, linear->bn.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 

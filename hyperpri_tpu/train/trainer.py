@@ -18,7 +18,6 @@ and two best-model checkpoints — but as pure-functional JAX:
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
@@ -29,7 +28,7 @@ import numpy as np
 import optax
 from flax import core, struct
 
-from hyperpri_tpu.config import ExperimentConfig, resolve_criterion
+from hyperpri_tpu.config import ExperimentConfig
 from hyperpri_tpu.data.pipeline import DataLoader
 from hyperpri_tpu.ops.metrics import (
     StatScores,
@@ -43,7 +42,6 @@ from hyperpri_tpu.train.checkpoint import (
     DualCheckpointManager,
     find_resume_checkpoint,
     load_pytree,
-    save_pytree,
 )
 from hyperpri_tpu.utils.logging import ExperimentLogger
 
