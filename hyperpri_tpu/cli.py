@@ -58,6 +58,27 @@ def rename_folder(save_path: str) -> Optional[str]:
     return target
 
 
+def _add_model_overrides(p):
+    p.add_argument("--hsi-lo", type=int, default=None)
+    p.add_argument("--hsi-hi", type=int, default=None)
+    p.add_argument("--cube-featmaps", type=int, default=None)
+    p.add_argument("--spectral-bn-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+
+
+def _apply_model_overrides(cfg, args):
+    for attr, val in [("hsi_lo", args.hsi_lo), ("hsi_hi", args.hsi_hi),
+                      ("cube_featmaps", args.cube_featmaps),
+                      ("spectral_bn_size", args.spectral_bn_size),
+                      ("epochs", args.epochs)]:
+        if val is not None:
+            setattr(cfg, attr, val)
+    if args.hsi_lo is not None or args.hsi_hi is not None:
+        cfg.channels = cfg.hsi_hi - cfg.hsi_lo
+    cfg._refresh_paths()
+    return cfg
+
+
 def kfold_train(argv: Optional[List[str]] = None) -> None:
     p = argparse.ArgumentParser(description="5-split cross-validation training")
     p.add_argument("--calling-path", default=os.getcwd())
@@ -76,6 +97,7 @@ def kfold_train(argv: Optional[List[str]] = None) -> None:
                    help="run the threshold sweep after each training run")
     p.add_argument("--archive-existing", action="store_true",
                    help="timestamp-rename an existing run dir instead of resuming into it")
+    _add_model_overrides(p)
     args = p.parse_args(argv)
 
     from hyperpri_tpu.train import train_net, validate_net
@@ -87,6 +109,7 @@ def kfold_train(argv: Optional[List[str]] = None) -> None:
         for seed_idx in range(args.n_seeds):
             print(f"        Seed {seed_idx + 1} / {args.n_seeds}.....")
             cfg = _make_config(args.dataset, args.calling_path, run + 1, seed_idx, args.augment)
+            _apply_model_overrides(cfg, args)
             if args.archive_existing:
                 archived = rename_folder(cfg.save_path)
                 if archived:
@@ -109,6 +132,7 @@ def kfold_validate(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--start-split", type=int, default=0)
     p.add_argument("--num-splits", type=int, default=5)
     p.add_argument("--save-segmaps", action="store_true")
+    _add_model_overrides(p)
     args = p.parse_args(argv)
 
     import matplotlib
@@ -128,6 +152,7 @@ def kfold_validate(argv: Optional[List[str]] = None) -> None:
         for m_idx, (m, dset) in enumerate(zip(args.models, datasets)):
             cfg = _make_config(dset, args.calling_path, run + 1, 0, False)
             cfg.change_network_param(m, args.calling_path, run + 1)
+            _apply_model_overrides(cfg, args)
             print(f"   Model: {cfg.model_param_str}")
             print(f"   Validation JSON: {cfg.json_dir['val']}")
             precision, recall, _ = validate_net(
@@ -160,6 +185,7 @@ def kfold_segmaps(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--no-segmaps", action="store_true")
     p.add_argument("--thresholds", nargs="+", type=float, default=None,
                    help="flat per-model thresholds (default: published table)")
+    _add_model_overrides(p)
     args = p.parse_args(argv)
 
     from hyperpri_tpu.train import test_net
@@ -172,6 +198,7 @@ def kfold_segmaps(argv: Optional[List[str]] = None) -> None:
         for m_idx, (m, dset) in enumerate(zip(args.models, datasets)):
             cfg = _make_config(dset, args.calling_path, run + 1, 0, False)
             cfg.change_network_param(m, args.calling_path, run + 1)
+            _apply_model_overrides(cfg, args)
             cfg.json_dir["test"] = args.test_json or os.path.join(
                 cfg.data_dir, "data_splits", "test.json"
             )

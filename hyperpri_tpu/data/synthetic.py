@@ -110,9 +110,16 @@ def make_experiment_tree(
     bands: int = 20,
     seed: int = 0,
     with_hsi: bool = True,
+    n_splits: int = 1,
 ) -> dict:
     """Synthetic data at the path layout the config layer expects:
-    {calling_path}/Datasets/HyperPRI/ with data_splits/{train,val}1.json."""
+    {calling_path}/Datasets/HyperPRI/ with data_splits/{train,val}{k}.json.
+
+    With n_splits > 1, box-level rotation mirrors the reference's 5-fold
+    protocol (each split holds out a different box subset as validation) and
+    a test.json is written (the held-out final box, the reference's box-40
+    analog).
+    """
     root = os.path.join(calling_path, "Datasets", "HyperPRI")
     os.makedirs(root, exist_ok=True)
     info = make_synthetic_dataset(
@@ -124,17 +131,28 @@ def make_experiment_tree(
         seed=seed,
         with_hsi=with_hsi,
     )
-    # mirror train split as val1.json target names
     train_path = info["splits"]["train"]
-    val_path = info["splits"].get("val")
-    if val_path is None:
-        val_path = train_path
-    for want, have in [("train1.json", train_path), ("val1.json", val_path)]:
-        dst = os.path.join(root, "data_splits", want)
-        if os.path.abspath(dst) != os.path.abspath(have):
-            import shutil
+    val_path = info["splits"].get("val") or train_path
+    import shutil
 
-            shutil.copy(have, dst)
+    split_dir = os.path.join(root, "data_splits")
+    boxes = info["boxes"]
+    keys = list(boxes)
+    for k in range(1, n_splits + 1):
+        if k == 1 and n_splits == 1:
+            for want, have in [("train1.json", train_path), ("val1.json", val_path)]:
+                dst = os.path.join(split_dir, want)
+                if os.path.abspath(dst) != os.path.abspath(have):
+                    shutil.copy(have, dst)
+            continue
+        val_keys = [keys[(k - 1) % len(keys)]]
+        train_keys = [b for b in keys if b not in val_keys] or keys[:1]
+        write_split_json(os.path.join(split_dir, f"train{k}.json"),
+                         {b: boxes[b] for b in train_keys})
+        write_split_json(os.path.join(split_dir, f"val{k}.json"),
+                         {b: boxes[b] for b in val_keys})
+    if n_splits > 1:
+        write_split_json(os.path.join(split_dir, "test.json"), {keys[-1]: boxes[keys[-1]]})
     return info
 
 

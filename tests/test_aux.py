@@ -85,3 +85,20 @@ def test_kfold_segmaps_cli_smoke(cli_workdir):
     maps = glob.glob(os.path.join(cli_workdir, "Saved_Models", "RGB",
                                   "Val_Segmentation_Maps", "**", "*_seg.png"), recursive=True)
     assert maps, "segmaps not rendered"
+
+
+def test_kfold_validate_cli_smoke(tmp_path):
+    """2-split protocol end-to-end: train both splits, sweep both, combined
+    PR plot written (reference kfold_validate.py flow)."""
+    from hyperpri_tpu.cli import kfold_train, kfold_validate
+    from hyperpri_tpu.data.synthetic import make_experiment_tree
+
+    make_experiment_tree(str(tmp_path), n_boxes=3, dates_per_box=1,
+                         size_hw=(16, 16), bands=8, n_splits=2)
+    flags = ["--hsi-lo", "0", "--hsi-hi", "8", "--cube-featmaps", "8"]
+    kfold_train(["--calling-path", str(tmp_path), "--dataset", "HSI",
+                 "--num-splits", "2", "--max-epochs", "1"] + flags)
+    kfold_validate(["--calling-path", str(tmp_path), "--models", "CubeNET",
+                    "--num-splits", "2"] + flags)
+    out = os.path.join(str(tmp_path), "Saved_Models", "HSI", "CubeNET_pr.png")
+    assert os.path.exists(out)
