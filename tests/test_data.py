@@ -276,3 +276,17 @@ def test_weighted_sampler_oversamples_minority(tmp_path):
     corn = sum("box50" in n for n in names) / len(names)
     # 1 corn of 7 images unweighted ~14%; inverse-frequency weighting -> ~50%
     assert corn > 0.3
+
+
+def test_native_reader_matches_numpy(tmp_path, rng):
+    from hyperpri_tpu.data.native_io import get_library
+
+    if get_library() is None:
+        pytest.skip("native IO library not built (make -C runtime)")
+    for il in ["bil", "bip", "bsq"]:
+        cube = (rng.random((19, 23, 11)) * 50).astype(np.float32)
+        hdr, dat = str(tmp_path / f"n_{il}.hdr"), str(tmp_path / f"n_{il}.dat")
+        write_envi(hdr, dat, cube, interleave=il)
+        a = read_cube(hdr, dat, 2, 9, use_native=True)
+        b = read_cube(hdr, dat, 2, 9, use_native=False)
+        np.testing.assert_array_equal(a, b)
