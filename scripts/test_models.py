@@ -32,6 +32,9 @@ def main():
     p.add_argument("--timing-runs", type=int, default=5)
     p.add_argument("--test-json", default=None)
     p.add_argument("--out", default=None, help="write results JSON here")
+    from hyperpri_tpu.cli import _add_model_overrides
+
+    _add_model_overrides(p)
     args = p.parse_args()
 
     if args.cpu:
@@ -42,7 +45,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from hyperpri_tpu.cli import REFERENCE_THRESHOLDS, _make_config
+    from hyperpri_tpu.cli import (
+        REFERENCE_THRESHOLDS,
+        _apply_model_overrides,
+        _make_config,
+    )
     from hyperpri_tpu.train import Trainer, test_net
     from hyperpri_tpu.train.evaluate import _load_eval_state
 
@@ -52,6 +59,7 @@ def main():
         for split in args.splits:
             cfg = _make_config(dset, args.calling_path, split, 0, False)
             cfg.change_network_param(model_name, args.calling_path, split)
+            _apply_model_overrides(cfg, args)
             if args.test_json:
                 cfg.json_dir["test"] = args.test_json
             else:

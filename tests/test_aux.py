@@ -102,3 +102,36 @@ def test_kfold_validate_cli_smoke(tmp_path):
                     "--num-splits", "2"] + flags)
     out = os.path.join(str(tmp_path), "Saved_Models", "HSI", "CubeNET_pr.png")
     assert os.path.exists(out)
+
+
+def test_test_models_script_smoke(tmp_path, monkeypatch):
+    """scripts/test_models.py (C18 equivalent): metrics + timing over a
+    trained checkpoint."""
+    import subprocess
+    import sys
+
+    from hyperpri_tpu.cli import kfold_train
+    from hyperpri_tpu.data.synthetic import make_experiment_tree
+
+    make_experiment_tree(str(tmp_path), n_boxes=3, dates_per_box=1,
+                         size_hw=(16, 16), bands=8, n_splits=2)
+    flags = ["--hsi-lo", "0", "--hsi-hi", "8", "--cube-featmaps", "8"]
+    kfold_train(["--calling-path", str(tmp_path), "--dataset", "HSI",
+                 "--num-splits", "1", "--max-epochs", "1"] + flags)
+    out_json = str(tmp_path / "results.json")
+    test_json = os.path.join(str(tmp_path), "Datasets", "HyperPRI", "data_splits", "test.json")
+    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "scripts", "test_models.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, script, "--calling-path", str(tmp_path), "--models", "CubeNET",
+         "--splits", "1", "--cpu", "--timing-runs", "2",
+         "--hsi-lo", "0", "--hsi-hi", "8", "--cube-featmaps", "8",
+         "--test-json", test_json, "--out", out_json],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(out_json) as f:
+        results = json.load(f)
+    key = "CubeNET_split1"
+    assert key in results and "inference_sec_per_image" in results[key]
