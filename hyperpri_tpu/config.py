@@ -90,6 +90,7 @@ class ExperimentConfig:
     remat: bool = False
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {'data': 2, 'spatial': 4}
     zero_shard_opt: bool = False  # ZeRO-equivalent sharded optimizer state
+    offload_opt_state: bool = False  # ZeRO-3-offload equivalent: Adam moments in host memory
     profile_dir: Optional[str] = None  # jax.profiler trace of one post-compile epoch
 
     def __post_init__(self):

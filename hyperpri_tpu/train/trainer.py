@@ -112,7 +112,12 @@ def _batch_stats_metrics(logits, mask, valid, threshold):
     return StatScores.zeros().update(probs_pos, mask, threshold, valid=v)
 
 
-def make_train_step(threshold: float):
+def make_train_step(threshold: float, opt_device_shardings=None):
+    """opt_device_shardings: when the optimizer state lives in pinned host
+    memory (ZeRO-3-offload equivalent, PLTrainer.py:414-419), a pytree of
+    device shardings it is streamed onto for the update; the jit's
+    out_shardings pin the new state back to host."""
+
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def loss_fn(params):
             logits, updates = state.apply_fn(
@@ -127,6 +132,14 @@ def make_train_step(threshold: float):
         (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if opt_device_shardings is not None:
+            state = state.replace(
+                opt_state=jax.tree.map(
+                    lambda x, s: jax.device_put(x, s) if getattr(x, "ndim", 0) >= 1 else x,
+                    state.opt_state,
+                    opt_device_shardings,
+                )
+            )
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         stats = _batch_stats_metrics(logits, batch["mask"], batch["valid"], threshold)
         n_valid = jnp.sum(batch["valid"])
@@ -186,9 +199,13 @@ class Trainer:
         self.cfg = cfg
         self.model = model if model is not None else cfg.get_network()
         # SPMD engages only when asked for (cfg.mesh_shape / explicit mesh);
-        # single-device jit otherwise.
+        # single-device jit otherwise. Host offload needs a mesh to express
+        # memory-kind shardings — a trivial one is created if necessary.
         self.mesh = mesh if mesh is not None else (
-            make_mesh(cfg.mesh_shape) if cfg.mesh_shape else None
+            make_mesh(cfg.mesh_shape)
+            if cfg.mesh_shape
+            else (make_mesh({"data": 1, "spatial": 1}, devices=jax.devices()[:1])
+                  if cfg.offload_opt_state else None)
         )
         self.use_spatial = use_spatial
         self._train_step = None
@@ -205,7 +222,7 @@ class Trainer:
 
     # -- sharding plumbing ------------------------------------------------
 
-    def _shardings_for_state(self, state: TrainState):
+    def _shardings_for_state(self, state: TrainState, host_opt: bool = False):
         if self.mesh is None:
             return None
         rep = replicated_like(
@@ -217,6 +234,22 @@ class Trainer:
             if self.cfg.zero_shard_opt
             else replicated_like(state.opt_state, self.mesh)
         )
+        if host_opt:
+            # ZeRO-3-offload equivalent (reference PLTrainer.py:414-419):
+            # Adam moments live in pinned host memory between steps. Scalar
+            # leaves (step counters) stay on device — SPMD cannot annotate
+            # placement for side-effecting scalar custom-calls.
+            from jax.sharding import NamedSharding
+
+            opt = jax.tree.map(
+                lambda s, leaf: (
+                    NamedSharding(s.mesh, s.spec, memory_kind="pinned_host")
+                    if getattr(leaf, "ndim", 0) >= 1
+                    else s
+                ),
+                opt,
+                state.opt_state,
+            )
         return TrainState(
             step=rep["step"],
             params=rep["params"],
@@ -233,15 +266,19 @@ class Trainer:
         return {"image": bs, "mask": bs, "valid": sample_sharding(self.mesh)}
 
     def _place_state(self, state: TrainState) -> TrainState:
-        sh = self._shardings_for_state(state)
+        sh = self._shardings_for_state(state, host_opt=self.cfg.offload_opt_state)
         if sh is None:
             return state
         return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
 
     def _compile_steps(self, state: TrainState):
-        state_sh = self._shardings_for_state(state)
+        offload = self.cfg.offload_opt_state and self.mesh is not None
+        state_sh = self._shardings_for_state(state, host_opt=offload)
         batch_sh = self._batch_shardings()
-        train = make_train_step(self.cfg.threshold)
+        opt_dev = (
+            self._shardings_for_state(state, host_opt=False).opt_state if offload else None
+        )
+        train = make_train_step(self.cfg.threshold, opt_device_shardings=opt_dev)
         evals = make_eval_step(0.5)
         predict = make_eval_step(0.5, return_logits=True)
         if self.mesh is None:
@@ -451,6 +488,9 @@ def train_net(
         # (PLTrainer.py:421-433) re-expressed as shardings.
         cfg.precision = "bf16"
         cfg.zero_shard_opt = True
+        if cfg.test_deepspeed:
+            # reference ZeRO-3 + offload_optimizer flag (PLTrainer.py:414-419)
+            cfg.offload_opt_state = True
         if cfg.mesh_shape is None:
             ndev = len(jax.devices())
             data = math.gcd(cfg.b_size["train"], ndev)

@@ -152,3 +152,28 @@ def test_train_net_with_mesh_e2e(tmp_path):
     import numpy as np
 
     assert np.isfinite(trainer.fit_result.best_val_loss)
+
+
+def test_offload_opt_state_tpu_only():
+    """ZeRO-3-offload equivalent: Adam moments pinned to host memory between
+    steps (reference PLTrainer.py:414-419 / test_deepspeed flag). The XLA CPU
+    backend hits an SPMD RET_CHECK on scalar placement annotations, so this
+    runs on TPU only — verified working there (2 steps, moments stay
+    pinned_host; see BENCHMARKS.md)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("host-offload SPMD annotations unsupported on CPU backend")
+    cfg = _tiny_cfg(offload_opt_state=True)
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 16, 16, 8)).astype(np.float32)
+    batch = {"image": img, "mask": (img[..., :1] > 0).astype(np.float32),
+             "valid": np.ones(2, np.float32)}
+    state = create_train_state(cfg, tr.model, img[:1], seed=0)
+    state = tr._place_state(state)
+    tr._compile_steps(state)
+    sh = tr._batch_shardings()
+    b = {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+    state, logs = tr._train_step(state, b)
+    kinds = {l.sharding.memory_kind for l in jax.tree.leaves(state.opt_state)
+             if getattr(l, "ndim", 0) >= 1}
+    assert kinds == {"pinned_host"}
