@@ -58,6 +58,7 @@ class ExperimentConfig:
     label_set: Optional[list] = None
     hsi_lo: int = 0
     hsi_hi: int = 299
+    cache_items: int = 0  # host-RAM LRU of decoded images/cubes (0 = off)
 
     # Model parameters --------------------------------------------------
     model_name: str = "UNET"
@@ -162,6 +163,7 @@ class ExperimentConfig:
             hsi_hi=self.hsi_hi if mode.lower() == "hsi" else 0,
             json_file=self.json_dir.get(split),
             seed=self.run_num,
+            cache_items=self.cache_items,
         )
 
     def get_train_data(self) -> HyperpriDataset:

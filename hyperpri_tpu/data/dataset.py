@@ -66,6 +66,7 @@ class HyperpriDataset:
         json_verb: bool = False,
         unsqueeze_img: bool = False,  # accepted for API parity; NHWC needs no axis
         seed: int = 0,
+        cache_items: int = 0,
     ):
         if json_file is None:
             raise ValueError("hyperpri_tpu requires a split JSON (the reference's "
@@ -88,6 +89,11 @@ class HyperpriDataset:
         self.files = self.index.entries
         self.sample_weights = np.asarray(self.index.sample_weights(self.class_list))
         self._rng = np.random.default_rng(seed)
+        # Decoded-image LRU: the reference re-reads every ~267 MB cube every
+        # epoch (SURVEY.md §3.1); with cache_items > 0 decoded (image, label)
+        # pairs are kept in host RAM (pre-crop, so augmentation stays fresh).
+        self._cache_items = cache_items
+        self._cache: "dict[int, tuple]" = {}
 
     def __len__(self) -> int:
         return len(self.files)
@@ -103,10 +109,8 @@ class HyperpriDataset:
             return self.crop_size
         return None
 
-    def __getitem__(self, i: int, rng: Optional[np.random.Generator] = None) -> Dict:
+    def _load_raw(self, i: int):
         entry = self.files[i]
-        rng = rng or self._rng
-
         if self.mode == "hsi":
             img = read_cube(entry.hdr, entry.dat, self.hsi_lo, self.hsi_hi)
         elif self.mode == "gray":
@@ -123,6 +127,22 @@ class HyperpriDataset:
         if self.mode != "hsi" and img.shape[1] < img.shape[0]:
             img = np.rot90(img, 1, axes=(0, 1))
             label = np.rot90(label, 1, axes=(0, 1))
+        return img, label
+
+    def __getitem__(self, i: int, rng: Optional[np.random.Generator] = None) -> Dict:
+        entry = self.files[i]
+        rng = rng or self._rng
+
+        if self._cache_items > 0:
+            if i in self._cache:
+                img, label = self._cache.pop(i)  # re-insert: LRU order
+            else:
+                img, label = self._load_raw(i)
+                while len(self._cache) >= self._cache_items:
+                    self._cache.pop(next(iter(self._cache)))
+            self._cache[i] = (img, label)
+        else:
+            img, label = self._load_raw(i)
 
         if self.crop_size is not None:
             img, label = paired_random_crop(img, label, self.crop_size, rng)

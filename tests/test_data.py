@@ -290,3 +290,29 @@ def test_native_reader_matches_numpy(tmp_path, rng):
         a = read_cube(hdr, dat, 2, 9, use_native=True)
         b = read_cube(hdr, dat, 2, 9, use_native=False)
         np.testing.assert_array_equal(a, b)
+
+
+def test_dataset_lru_cache(synth, monkeypatch):
+    import hyperpri_tpu.data.dataset as dsmod
+
+    ds = HyperpriDataset(synth["root"], mode="RGB", json_file=synth["splits"]["train"],
+                         cache_items=2)
+    calls = {"n": 0}
+    orig = dsmod.HyperpriDataset._load_raw
+
+    def counting(self, i):
+        calls["n"] += 1
+        return orig(self, i)
+
+    monkeypatch.setattr(dsmod.HyperpriDataset, "_load_raw", counting)
+    a1 = ds[0]; a2 = ds[1]; a3 = ds[0]  # hit
+    assert calls["n"] == 2
+    np.testing.assert_array_equal(a1["image"], a3["image"])
+    ds[2]  # evicts LRU (item 1)
+    ds[1]  # miss again
+    assert calls["n"] == 4
+    # uncached dataset loads every time
+    ds0 = HyperpriDataset(synth["root"], mode="RGB", json_file=synth["splits"]["train"])
+    monkeypatch.setattr(dsmod.HyperpriDataset, "_load_raw", counting)
+    ds0[0]; ds0[0]
+    assert calls["n"] == 6
