@@ -1,3 +1,5 @@
+from hyperpri_tpu.ops.chunked import apply_pixelwise_chunked
+from hyperpri_tpu.ops.fold_bn import fold_batch_norm
 from hyperpri_tpu.ops.losses import bce_with_logits
 from hyperpri_tpu.ops.metrics import (
     StatScores,
@@ -12,6 +14,8 @@ from hyperpri_tpu.ops.metrics import (
 )
 
 __all__ = [
+    "apply_pixelwise_chunked",
+    "fold_batch_norm",
     "bce_with_logits",
     "StatScores",
     "average_precision",

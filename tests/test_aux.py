@@ -55,22 +55,26 @@ def test_experiment_logger(tmp_path):
         assert json.load(f)["lr"] == 0.001
 
 
+CLI_FLAGS = ["--hsi-lo", "0", "--hsi-hi", "8", "--cube-featmaps", "8"]
+
+
 @pytest.fixture(scope="module")
 def cli_workdir(tmp_path_factory):
-    """One split, one epoch, RGB on synthetic data through the real driver."""
+    """One split, one epoch, small CubeNET on synthetic HSI through the real
+    driver (the UNET path is covered by tests/test_trainer.py at much lower
+    cost than a 31M-param CPU compile)."""
     from hyperpri_tpu.cli import kfold_train
     from hyperpri_tpu.data.synthetic import make_experiment_tree
 
     path = str(tmp_path_factory.mktemp("cli"))
-    make_experiment_tree(path, n_boxes=2, dates_per_box=1, size_hw=(16, 16), bands=4)
-    kfold_train(
-        ["--calling-path", path, "--dataset", "RGB", "--num-splits", "1", "--max-epochs", "1"]
-    )
+    make_experiment_tree(path, n_boxes=2, dates_per_box=1, size_hw=(16, 16), bands=8)
+    kfold_train(["--calling-path", path, "--dataset", "HSI",
+                 "--num-splits", "1", "--max-epochs", "1"] + CLI_FLAGS)
     return path
 
 
 def test_kfold_train_cli_smoke(cli_workdir):
-    ckpts = glob.glob(os.path.join(cli_workdir, "Saved_Models", "RGB", "UNET", "Run_1",
+    ckpts = glob.glob(os.path.join(cli_workdir, "Saved_Models", "HSI", "CubeNET_8", "Run_1",
                                    "Checkpoints", "*.ckpt"))
     assert ckpts, "driver did not produce checkpoints"
 
@@ -80,9 +84,9 @@ def test_kfold_segmaps_cli_smoke(cli_workdir):
 
     # use the val split as test.json stand-in
     test_json = os.path.join(cli_workdir, "Datasets", "HyperPRI", "data_splits", "val1.json")
-    kfold_segmaps(["--calling-path", cli_workdir, "--models", "UNET",
-                   "--num-splits", "1", "--test-json", test_json])
-    maps = glob.glob(os.path.join(cli_workdir, "Saved_Models", "RGB",
+    kfold_segmaps(["--calling-path", cli_workdir, "--models", "CubeNET",
+                   "--num-splits", "1", "--test-json", test_json] + CLI_FLAGS)
+    maps = glob.glob(os.path.join(cli_workdir, "Saved_Models", "HSI",
                                   "Val_Segmentation_Maps", "**", "*_seg.png"), recursive=True)
     assert maps, "segmaps not rendered"
 
