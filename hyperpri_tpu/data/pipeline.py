@@ -60,6 +60,7 @@ class DataLoader:
         device_put: bool = True,
         sharding=None,
         weighted: bool = False,
+        image_dtype=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -68,6 +69,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.device_put = device_put
         self.sharding = sharding
+        # Cast images on host before device_put (e.g. ml_dtypes.bfloat16 when
+        # the model computes in bf16): halves host->device bytes, which is
+        # the ingest bottleneck for ~270 MB hyperspectral cubes.
+        self.image_dtype = image_dtype
         # Inverse-frequency weighted sampling from dataset.sample_weights
         # (the weights the reference computes at dataset.py:76-82 but never
         # consumes; opt-in here).
@@ -128,6 +133,8 @@ class DataLoader:
 
     def _maybe_put(self, it: Iterator[Dict]) -> Iterator[Dict]:
         for b in it:
+            if self.image_dtype is not None:
+                b["image"] = b["image"].astype(self.image_dtype)
             if self.device_put:
                 names = b.pop("names")
                 arrays = {k: v for k, v in b.items()}

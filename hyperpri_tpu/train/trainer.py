@@ -498,18 +498,25 @@ def train_net(
 
     trainer = Trainer(cfg)
     batch_sh = trainer._batch_shardings()  # loader shards batches on ingest
+    image_dtype = None
+    if cfg.precision == "bf16":
+        import ml_dtypes
+
+        image_dtype = ml_dtypes.bfloat16  # halve host->device ingest bytes
     train_loader = DataLoader(
         cfg.get_train_data(),
         trainer.effective_batch(cfg.b_size["train"]),
         shuffle=True,
         seed=cfg.run_num,
         sharding=batch_sh,
+        image_dtype=image_dtype,
     )
     val_loader = DataLoader(
         cfg.get_val_data(),
         trainer.effective_batch(cfg.b_size["val"]),
         shuffle=False,
         sharding=batch_sh,
+        image_dtype=image_dtype,
     )
     resume = find_resume_checkpoint(cfg.save_path) if checkpoint else None
     trainer.fit_result = trainer.fit(
