@@ -10,10 +10,12 @@ kernels are the reference's FLOP carrier). Design:
   - the H halo comes from overlapping Element-indexed windows (stride TH,
     size TH+2) over an input pre-padded so no window is out of bounds.
     Mosaic constraints found empirically on v5e: trailing two block dims
-    divisible by 8; an Element-indexed block must stay within a single
-    128-lane tile and its lane axis must not be grid-stepped — so inputs
-    with more than 128 channels are passed as separate pre-split chunk
-    arrays rather than a fourth grid axis;
+    divisible by 8; dynamic 1-D slices cannot be alignment-proven; scoped
+    VMEM is ~16 MB including pipeline double-buffering;
+  - channels are passed as separate pre-split <=128-lane chunk arrays.
+    A single full-width block with K=C dots also compiles, but measures
+    ~15-25% slower (0.82 vs 0.72 ms at 256ch, 0.55 vs 0.44 ms at 512ch):
+    the 128-wide K chunks pipeline DMA against MXU work better;
   - W is zero-padded to a multiple of 8, C to a multiple of 128 (zero
     weights for the padding lanes -> exact outputs);
   - bias add + optional ReLU fused into the epilogue.
