@@ -72,6 +72,21 @@ def _load_eval_state(trainer: Trainer, cfg: ExperimentConfig, state=None):
     return trainer.restore_state(ckpt_path)
 
 
+def _eval_loader(data, cfg, trainer) -> DataLoader:
+    image_dtype = None
+    if cfg.precision == "bf16":
+        import ml_dtypes
+
+        image_dtype = ml_dtypes.bfloat16  # halve host->device ingest bytes
+    return DataLoader(
+        data,
+        trainer.effective_batch(cfg.b_size["test"]),
+        shuffle=False,
+        sharding=trainer._batch_shardings(),
+        image_dtype=image_dtype,
+    )
+
+
 def validate_net(
     val_data,
     params: ExperimentConfig,
@@ -84,7 +99,7 @@ def validate_net(
     cfg = params
     trainer = trainer or Trainer(cfg)
     state = _load_eval_state(trainer, cfg, state)
-    loader = DataLoader(val_data, trainer.effective_batch(cfg.b_size["test"]), shuffle=False)
+    loader = _eval_loader(val_data, cfg, trainer)
 
     flat_logits, flat_masks, batches = _gather_predictions(trainer, loader, state)
     logits_d = jnp.asarray(flat_logits)
@@ -142,7 +157,7 @@ def test_net(
     cfg = params
     trainer = trainer or Trainer(cfg)
     state = _load_eval_state(trainer, cfg, state)
-    loader = DataLoader(test_data, trainer.effective_batch(cfg.b_size["test"]), shuffle=False)
+    loader = _eval_loader(test_data, cfg, trainer)
 
     flat_logits, flat_masks, batches = _gather_predictions(trainer, loader, state)
     probs = jax.nn.sigmoid(jnp.asarray(flat_logits))
