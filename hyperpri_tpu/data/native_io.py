@@ -89,5 +89,14 @@ def read_cube_native(hdr, dat_path: str, band_lo: int, band_hi: int, dtype) -> O
         min(os.cpu_count() or 1, 8),
     )
     if rc != 0:
-        raise OSError(f"envi_read_slice failed with code {rc} for {dat_path}")
+        # Fall back to the numpy reader rather than hard-failing: the numpy
+        # path supports everything the header parser does, so a native-layer
+        # gap (unknown dtype code, short file) must not turn a working read
+        # into an error just because the library was built.
+        import warnings
+
+        warnings.warn(
+            f"envi_read_slice returned {rc} for {dat_path}; falling back to numpy"
+        )
+        return None
     return out

@@ -27,17 +27,20 @@ import numpy as np
 
 
 def collate(samples: Sequence[Dict], batch_size: int) -> Dict[str, np.ndarray]:
-    """Stack samples; zero-pad to `batch_size` with a `valid` mask."""
+    """Stack samples; cyclic-pad to `batch_size` with a `valid` mask.
+
+    Padding repeats real samples (wrap-around) rather than zero-filling:
+    loss/metrics exclude pad rows via `valid` either way, but BatchNorm batch
+    statistics see the whole fixed-shape batch — all-zero pad images would
+    skew the mean/var used to normalize real samples and pollute the running
+    stats, diverging from the reference's smaller last batch. Duplicated real
+    images keep the statistics on-distribution."""
     n = len(samples)
     assert 0 < n <= batch_size
-    image = np.stack([s["image"] for s in samples])
-    mask = np.stack([s["mask"] for s in samples])
-    valid = np.ones(n, np.float32)
-    if n < batch_size:
-        pad = batch_size - n
-        image = np.concatenate([image, np.zeros((pad,) + image.shape[1:], image.dtype)])
-        mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)])
-        valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+    reps = [samples[i % n] for i in range(batch_size)]
+    image = np.stack([s["image"] for s in reps])
+    mask = np.stack([s["mask"] for s in reps])
+    valid = (np.arange(batch_size) < n).astype(np.float32)
     names = [s["index"] for s in samples] + [""] * (batch_size - n)
     return {"image": image, "mask": mask, "valid": valid, "names": names}
 
@@ -81,6 +84,18 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def probe(self) -> Dict[str, np.ndarray]:
+        """One host-side single-sample batch for shape/dtype inspection.
+
+        Avoids `next(iter(loader))`: an abandoned prefetching iterator leaves
+        its producer thread parked on q.put holding ~prefetch batches of host
+        RAM (hundreds of MB for HSI cubes) for the process lifetime."""
+        rng = np.random.default_rng((self.seed + 1, self.epoch))
+        b = collate([self.dataset.__getitem__(0, rng=rng)], 1)
+        if self.image_dtype is not None:
+            b["image"] = b["image"].astype(self.image_dtype)
+        return b
 
     def __len__(self):
         n = len(self.dataset)

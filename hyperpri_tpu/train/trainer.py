@@ -66,16 +66,31 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     """Adam/SGD selection mirroring configure_optimizers (PLTrainer.py:164-183).
-    weight_decay applies L2 like torch (coupled, via additive decay)."""
+    weight_decay applies L2 like torch (coupled, via additive decay) for both
+    optimizers (the reference passes weight_decay to optim.SGD too,
+    PLTrainer.py:176-181)."""
     name = cfg.optimizer.upper()
     if name == "ADAM":
         tx = optax.adam(cfg.learn_rate)
-        if cfg.weight_decay:
-            tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
-        return tx
-    if name == "SGD":
-        return optax.sgd(cfg.learn_rate, momentum=cfg.momentum)
-    raise ValueError(f"Unknown Optimizer name: {name}")
+    elif name == "SGD":
+        tx = optax.sgd(cfg.learn_rate, momentum=cfg.momentum)
+    else:
+        raise ValueError(f"Unknown Optimizer name: {name}")
+    if cfg.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+    return tx
+
+
+def _feature_extraction_mask(params):
+    """True (trainable) for the classification head, False elsewhere.
+
+    The reference defines set_parameter_requires_grad (models.py:17-20) but
+    never calls it, so its feature_extraction flag silently trains everything;
+    here the flag does what it says: freeze the backbone, train the `outc`
+    head (all three models name their head 'outc')."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(getattr(p, "key", None) == "outc" for p in path), params
+    )
 
 
 def create_train_state(cfg: ExperimentConfig, model, sample_image: np.ndarray, seed: int) -> TrainState:
@@ -83,9 +98,12 @@ def create_train_state(cfg: ExperimentConfig, model, sample_image: np.ndarray, s
     tx = make_optimizer(cfg)
     params = variables["params"]
     if cfg.feature_extraction:
-        # Freeze everything (reference set_parameter_requires_grad,
-        # models.py:17-20); the head is trained by a fresh optimizer mask.
-        tx = optax.chain(optax.set_to_zero(), tx)
+        # Freeze the backbone, train only the outc head (the reference's
+        # *intended* semantics; its set_parameter_requires_grad is dead code).
+        labels = jax.tree.map(
+            lambda t: "train" if t else "freeze", _feature_extraction_mask(params)
+        )
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -306,7 +324,11 @@ class Trainer:
         progress: bool = True,
     ) -> FitResult:
         cfg = self.cfg
-        sample = next(iter(train_loader))
+        sample = (
+            train_loader.probe()
+            if hasattr(train_loader, "probe")
+            else next(iter(train_loader))
+        )
         state = create_train_state(cfg, self.model, np.asarray(sample["image"][:1]), cfg.run_num)
         state = self._place_state(state)
         self._compile_steps(state)

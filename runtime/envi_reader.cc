@@ -33,6 +33,8 @@ enum DType {
   F64 = 5,
   U16 = 12,
   U32 = 13,
+  I64 = 14,
+  U64 = 15,
 };
 
 template <typename T>
@@ -55,6 +57,8 @@ inline float load_as_float(const uint8_t* p, int dtype, bool swap) {
     case F64: return to_float<double>(p, swap);
     case U16: return to_float<uint16_t>(p, swap);
     case U32: return to_float<uint32_t>(p, swap);
+    case I64: return to_float<int64_t>(p, swap);
+    case U64: return to_float<uint64_t>(p, swap);
     default:  return 0.0f;
   }
 }
@@ -64,7 +68,7 @@ inline size_t dtype_size(int dtype) {
     case U8: return 1;
     case I16: case U16: return 2;
     case I32: case U32: case F32: return 4;
-    case F64: return 8;
+    case F64: case I64: case U64: return 8;
     default: return 0;
   }
 }

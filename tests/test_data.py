@@ -316,3 +316,32 @@ def test_dataset_lru_cache(synth, monkeypatch):
     monkeypatch.setattr(dsmod.HyperpriDataset, "_load_raw", counting)
     ds0[0]; ds0[0]
     assert calls["n"] == 6
+
+
+def test_collate_cyclic_pad_keeps_bn_stats_on_distribution():
+    # Pad rows must be copies of real samples, not zeros: BatchNorm batch
+    # statistics see the whole fixed-shape batch (ADVICE r1).
+    samples = [
+        {"image": np.full((4, 4, 3), 7.0, np.float32),
+         "mask": np.ones((4, 4, 1), np.float32), "index": "a"},
+        {"image": np.full((4, 4, 3), 3.0, np.float32),
+         "mask": np.zeros((4, 4, 1), np.float32), "index": "b"},
+    ]
+    b = collate(samples, 5)
+    np.testing.assert_array_equal(b["valid"], [1, 1, 0, 0, 0])
+    # wrap-around: a, b, a, b, a
+    np.testing.assert_array_equal(b["image"][2], b["image"][0])
+    np.testing.assert_array_equal(b["image"][3], b["image"][1])
+    np.testing.assert_array_equal(b["image"][4], b["image"][0])
+    assert b["names"] == ["a", "b", "", "", ""]
+
+
+def test_loader_probe_is_host_side_and_threadless(synth):
+    import threading
+
+    ds = HyperpriDataset(synth["root"], mode="RGB", json_file=synth["splits"]["train"])
+    dl = DataLoader(ds, batch_size=3, shuffle=True, seed=3)
+    n_threads = threading.active_count()
+    b = dl.probe()
+    assert isinstance(b["image"], np.ndarray) and b["image"].shape[0] == 1
+    assert threading.active_count() == n_threads  # no prefetch producer leaked

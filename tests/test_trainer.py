@@ -118,3 +118,57 @@ def test_loss_decreases_on_learnable_synthetic(workdir):
         rows = list(csv.DictReader(f))
     losses = [float(r["tr_loss"]) for r in rows]
     assert losses[-1] < losses[0]
+
+
+def test_feature_extraction_trains_only_head(workdir):
+    # The flag must freeze the backbone and train the outc head (the
+    # reference's set_parameter_requires_grad is dead code; ADVICE r1).
+    import jax
+    import jax.numpy as jnp
+
+    from hyperpri_tpu.train.trainer import create_train_state, make_train_step
+
+    cfg = ExpRedGreenBluePRI(calling_path=workdir, split_no=1)
+    cfg.feature_extraction = True
+    model = cfg.get_network()
+    img = np.random.default_rng(0).normal(size=(2, 16, 16, 3)).astype(np.float32)
+    state = create_train_state(cfg, model, img[:1], seed=0)
+    batch = {
+        "image": jnp.asarray(img),
+        "mask": jnp.ones((2, 16, 16, 1), jnp.float32),
+        "valid": jnp.ones((2,), jnp.float32),
+    }
+    new_state, _ = jax.jit(make_train_step(0.5))(state, batch)
+
+    def changed(a, b):
+        return bool(np.any(np.asarray(a) != np.asarray(b)))
+
+    flat_old = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat_new = jax.tree_util.tree_flatten_with_path(new_state.params)[0]
+    head_changed, backbone_changed = False, False
+    for (path, old), (_, new) in zip(flat_old, flat_new):
+        is_head = any(getattr(p, "key", None) == "outc" for p in path)
+        if changed(old, new):
+            if is_head:
+                head_changed = True
+            else:
+                backbone_changed = True
+    assert head_changed and not backbone_changed
+
+
+def test_sgd_weight_decay_applied(workdir):
+    from hyperpri_tpu.train.trainer import make_optimizer
+
+    cfg = ExpRedGreenBluePRI(calling_path=workdir, split_no=1)
+    cfg.optimizer = "SGD"
+    cfg.learn_rate = 0.1
+    cfg.weight_decay = 0.5
+    tx = make_optimizer(cfg)
+    params = {"w": np.ones((3,), np.float32)}
+    zero_grads = {"w": np.zeros((3,), np.float32)}
+    import optax
+
+    st = tx.init(params)
+    updates, _ = tx.update(zero_grads, st, params)
+    # pure decay: update = -lr * wd * param
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.05 * np.ones(3), rtol=1e-6)
