@@ -204,6 +204,12 @@ def best_threshold_from_pr(precision, recall, thresholds, crop_frac: int = 100):
     tt = thresholds[pr_crop:end]
     dice = _safe_div(2 * tp * tr, tp + tr)
     idx = jnp.argmax(dice)
+    # Intentional parity quirk: precision/recall have T+1 entries but
+    # thresholds has T, so after identical crops `idx` can exceed tt's last
+    # index by one (the reference carries the same latent off-by-one,
+    # PLTrainer.py:547-555). jnp indexing clamps out-of-bounds gathers, so
+    # the final threshold is returned in that case — pinned by
+    # tests/test_metrics.py::test_best_threshold_oob_argmax_clamps.
     best = jnp.round(tt[idx] * 100) / 100
     return best, tp[idx], tr[idx]
 

@@ -112,7 +112,11 @@ def validate_net(
     best_thr_f = float(best_thr)
 
     best_acc = binary_accuracy(probs, masks_d, best_thr_f)
-    best_dice = 2 * curve_prec * curve_rec / (curve_prec + curve_rec)
+    # Safe division: a degenerate curve point with P=R=0 (e.g. a model that
+    # predicts nothing positive) must report dice 0.0, not NaN. The reference
+    # shares the unguarded form (PLTrainer.py:556-557); divergence intended.
+    pr_sum = curve_prec + curve_rec
+    best_dice = jnp.where(pr_sum > 0, 2 * curve_prec * curve_rec / jnp.maximum(pr_sum, 1e-12), 0.0)
     best_iou = binary_jaccard(probs, masks_d, best_thr_f)
     ap = average_precision(probs, masks_d)
     conf = confusion_matrix(probs, masks_d, best_thr_f, normalize=True)

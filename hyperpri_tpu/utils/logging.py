@@ -1,10 +1,12 @@
-"""Experiment logging: CSV metrics + JSON hyperparameters.
+"""Experiment logging: CSV metrics + TensorBoard events + JSON hyperparameters.
 
 Replaces the reference's CSVLogger/TensorBoardLogger/CometLogger stack
 (src/PLTrainer.py:362-376). Metrics land in {save_path}/LOGS/metrics.csv,
-hyperparameters in {save_path}/LOGS/hparams.json, and a JSONL event stream
-in {save_path}/LOGS/events.jsonl (greppable stand-in for TensorBoard;
-external services like Comet are intentionally not contacted).
+TensorBoard scalar events in {save_path}/LOGS/tb/events.out.tfevents.*
+(utils/tb_events.py, dependency-free writer), hyperparameters in
+{save_path}/LOGS/hparams.json, and a JSONL event stream in
+{save_path}/LOGS/events.jsonl (greppable; external services like Comet are
+intentionally not contacted).
 """
 
 from __future__ import annotations
@@ -16,13 +18,16 @@ import os
 import time
 from typing import Any, Dict, Optional
 
+from hyperpri_tpu.utils.tb_events import TBEventWriter
+
 
 class ExperimentLogger:
-    def __init__(self, save_path: str, hparams: Optional[Any] = None):
+    def __init__(self, save_path: str, hparams: Optional[Any] = None, tensorboard: bool = True):
         self.log_dir = os.path.join(save_path, "LOGS")
         os.makedirs(self.log_dir, exist_ok=True)
         self.csv_path = os.path.join(self.log_dir, "metrics.csv")
         self.jsonl_path = os.path.join(self.log_dir, "events.jsonl")
+        self.tb = TBEventWriter(os.path.join(self.log_dir, "tb")) if tensorboard else None
         self._fieldnames = None
         if hparams is not None:
             self.log_hparams(hparams)
@@ -54,6 +59,15 @@ class ExperimentLogger:
             w.writerow(row)
         with open(self.jsonl_path, "a") as f:
             f.write(json.dumps(row) + "\n")
+        if self.tb is not None:
+            self.tb.add_scalars(
+                {
+                    k: v
+                    for k, v in row.items()
+                    if isinstance(v, (int, float)) and k not in ("step", "time", "epoch")
+                },
+                step,
+            )
 
 
 def _to_float(v):

@@ -139,3 +139,111 @@ def test_test_models_script_smoke(tmp_path, monkeypatch):
         results = json.load(f)
     key = "CubeNET_split1"
     assert key in results and "inference_sec_per_image" in results[key]
+
+
+def test_crc32c_known_vector():
+    from hyperpri_tpu.utils.tb_events import crc32c, masked_crc32c
+
+    # RFC 3720 test vector for CRC32C
+    assert crc32c(b"123456789") == 0xE3069283
+    # TFRecord mask is rot-right-15 + constant
+    crc = crc32c(b"x")
+    assert masked_crc32c(b"x") == ((((crc >> 15) | (crc << 17)) & 0xFFFFFFFF) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _decode_tfrecords(path):
+    """Independent TFRecord + Event proto decoder (oracle for the writer)."""
+    import struct
+
+    from hyperpri_tpu.utils.tb_events import masked_crc32c
+
+    records = []
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if not header:
+                break
+            (length,) = struct.unpack("<Q", header)
+            (hcrc,) = struct.unpack("<I", f.read(4))
+            assert hcrc == masked_crc32c(header)
+            data = f.read(length)
+            (dcrc,) = struct.unpack("<I", f.read(4))
+            assert dcrc == masked_crc32c(data)
+            records.append(data)
+    return [_decode_proto(r) for r in records]
+
+
+def _decode_proto(data):
+    """Minimal proto wire decoder -> dict of field_num -> list of values."""
+    import struct
+
+    out = {}
+    i = 0
+    while i < len(data):
+        key = 0
+        shift = 0
+        while True:
+            b = data[i]; i += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        num, wt = key >> 3, key & 7
+        if wt == 0:  # varint
+            v = 0; shift = 0
+            while True:
+                b = data[i]; i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+        elif wt == 1:
+            (v,) = struct.unpack("<d", data[i : i + 8]); i += 8
+        elif wt == 5:
+            (v,) = struct.unpack("<f", data[i : i + 4]); i += 4
+        elif wt == 2:
+            ln = 0; shift = 0
+            while True:
+                b = data[i]; i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            v = data[i : i + ln]; i += ln
+        else:
+            raise AssertionError(f"wire type {wt}")
+        out.setdefault(num, []).append(v)
+    return out
+
+
+def test_tb_event_writer_roundtrip(tmp_path):
+    from hyperpri_tpu.utils.tb_events import TBEventWriter
+
+    w = TBEventWriter(str(tmp_path))
+    w.add_scalars({"val_loss": 0.25, "val_dice": 0.875}, step=3)
+    w.add_scalars({"val_loss": 0.125}, step=4)
+    w.close()
+
+    events = _decode_tfrecords(w.path)
+    # record 0: file version
+    assert events[0][3] == [b"brain.Event:2"]
+    # record 1: step 3, two scalar values
+    assert events[1][2] == [3]
+    summary = _decode_proto(events[1][5][0])
+    values = [_decode_proto(v) for v in summary[1]]
+    got = {v[1][0].decode(): v[2][0] for v in values}
+    assert got == {"val_loss": 0.25, "val_dice": 0.875}
+    assert _decode_proto(events[2][5][0])[1]  # second scalar record present
+
+
+def test_experiment_logger_writes_tb_events(tmp_path):
+    import glob
+
+    from hyperpri_tpu.utils.logging import ExperimentLogger
+
+    lg = ExperimentLogger(str(tmp_path))
+    lg.log_metrics({"tr_loss": 1.5, "note": "x"}, step=0)
+    files = glob.glob(str(tmp_path / "LOGS" / "tb" / "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = _decode_tfrecords(files[0])
+    assert len(events) == 2  # version header + one scalar record

@@ -166,3 +166,22 @@ def test_patch_pr_tail():
     assert patched[-2] == pytest.approx((1 + 0.8) / 2)
     untouched = np.asarray(patch_pr_tail(jnp.asarray(np.array([0.5, 0.6, 0.8, 0.7, 1.0], np.float32))))
     assert untouched[-2] == pytest.approx(0.7)
+
+
+def test_best_threshold_oob_argmax_clamps():
+    # precision/recall have T+1 entries, thresholds has T (torchmetrics
+    # layout). If the argmax of dice lands on the final curve point, the
+    # threshold gather index is out of bounds by one; jnp clamps to the last
+    # threshold — pinned here as the intended parity behavior (the reference
+    # shares the latent off-by-one, PLTrainer.py:547-555).
+    import jax.numpy as jnp
+
+    from hyperpri_tpu.ops.metrics import best_threshold_from_pr
+
+    T = 10
+    precision = jnp.concatenate([jnp.linspace(0.1, 0.5, T), jnp.array([1.0])])
+    recall = jnp.concatenate([jnp.linspace(0.1, 0.5, T), jnp.array([1.0])])
+    thresholds = jnp.linspace(0.0, 0.9, T)
+    best, p, r = best_threshold_from_pr(precision, recall, thresholds)
+    assert float(best) == pytest.approx(0.9)  # clamped to thresholds[-1]
+    assert float(p) == pytest.approx(1.0) and float(r) == pytest.approx(1.0)
