@@ -177,3 +177,52 @@ def test_offload_opt_state_tpu_only():
     kinds = {l.sharding.memory_kind for l in jax.tree.leaves(state.opt_state)
              if getattr(l, "ndim", 0) >= 1}
     assert kinds == {"pinned_host"}
+
+
+def test_no_involuntary_remat_with_zero_and_spatial(tmp_path):
+    """Compiling the ZeRO-sharded + spatially-sharded train step must emit no
+    GSPMD 'Involuntary full rematerialization' warnings (VERDICT r1 item 2:
+    the moment shardings used to propagate into the conv backward and force
+    full feature-map replication at every decoder Up stage)."""
+    import os
+    import tempfile
+
+    from hyperpri_tpu.train.trainer import make_train_step
+
+    mesh = make_mesh({"data": 2, "spatial": 4})
+    cfg = ExpHyperspectralPRI(calling_path=str(tmp_path), split_no=1)
+    cfg.hsi_lo, cfg.hsi_hi = 0, 12  # unique shapes: compile must not be cached
+    cfg.channels = 12
+    cfg.cube_featmaps = 8
+    cfg.zero_shard_opt = True
+    cfg.mesh_shape = {"data": 2, "spatial": 4}
+
+    trainer = Trainer(cfg, mesh=mesh)
+    image = np.random.default_rng(0).normal(size=(2, 128, 48, 12)).astype(np.float32)
+    state = create_train_state(cfg, trainer.model, image[:1], seed=0)
+    state = trainer._place_state(state)
+
+    batch = {
+        "image": image,
+        "mask": (np.random.default_rng(1).uniform(size=(2, 128, 48, 1)) < 0.3).astype(np.float32),
+        "valid": np.ones((2,), np.float32),
+    }
+    sh = trainer._batch_shardings()
+    batch = {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+
+    # XLA warnings are C++-level stderr: capture via fd redirection.
+    cap = tempfile.TemporaryFile(mode="w+")
+    old_fd = os.dup(2)
+    os.dup2(cap.fileno(), 2)
+    try:
+        trainer._compile_steps(state)
+        state, logs = trainer._train_step(state, batch)
+        jax.block_until_ready(state.params)
+    finally:
+        os.dup2(old_fd, 2)
+        os.close(old_fd)
+    cap.seek(0)
+    text = cap.read()
+    remats = [l for l in text.splitlines() if "Involuntary full rematerialization" in l]
+    assert not remats, "\n".join(remats[:5])
+    assert np.isfinite(float(logs["loss_sum"]))
