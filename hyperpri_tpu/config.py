@@ -93,6 +93,11 @@ class ExperimentConfig:
     zero_shard_opt: bool = False  # ZeRO-equivalent sharded optimizer state
     offload_opt_state: bool = False  # ZeRO-3-offload equivalent: Adam moments in host memory
     profile_dir: Optional[str] = None  # jax.profiler trace of one post-compile epoch
+    # Under a mesh, per-epoch full-state checkpoints go through orbax
+    # (sharded write, sharding-aware restore — each host writes its shards,
+    # the no-consolidation answer to zero_to_fp32); best-model exports stay
+    # msgpack for the eval tooling. Single-host runs use msgpack throughout.
+    orbax_under_mesh: bool = True
 
     def __post_init__(self):
         self.run_num = 10 * self.seed_num + self.split_no

@@ -35,6 +35,32 @@ def save_pytree(path: str, tree: Any) -> None:
     os.replace(tmp, path)
 
 
+def detect_checkpoint_format(path: str) -> str:
+    """'zero_dir' | 'torch' | 'msgpack', decided by content, not extension.
+
+    The reference's eval restore accepts three on-disk formats
+    (PLTrainer.py:186-216, 270-330): Lightning/torch files (any extension —
+    users have both .ckpt and .pt), DeepSpeed ZeRO-2 sharded *directories*,
+    and (here) this repo's own msgpack pytrees. Extension-based routing
+    would feed a Lightning .ckpt to the msgpack loader and crash.
+
+      directory                      -> ZeRO-2 sharded checkpoint dir
+      zip magic PK\\x03\\x04         -> torch >=1.6 zipfile serialization
+      pickle proto header 0x80 0x02+ -> legacy torch pickle
+      msgpack map root (0x8N/0xde..) -> this repo's flax msgpack
+    """
+    if os.path.isdir(path):
+        return "zero_dir"
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic[:2] == b"PK":
+        return "torch"
+    if len(magic) == 2 and magic[0] == 0x80 and 2 <= magic[1] <= 5:
+        return "torch"  # pickle protocol 2..5 (msgpack 0x80 is an empty map,
+        # never the root of a saved state pytree)
+    return "msgpack"
+
+
 def load_pytree(path: str, target: Any = None) -> Any:
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
@@ -95,7 +121,18 @@ class DualCheckpointManager:
 
 
 def find_resume_checkpoint(save_path: str) -> Optional[str]:
-    """Newest `last*` checkpoint for crash resume (PLTrainer.py:379-406)."""
+    """Newest `last*` checkpoint for crash resume (PLTrainer.py:379-406).
+
+    Mesh runs checkpoint every epoch through orbax (save_path/orbax, step
+    dirs named by epoch); when present those are newer-or-equal to any
+    msgpack best-model export, so they win. Returned as an
+    'orbax:<dir>:<step>' pointer that Trainer.fit restores sharding-aware.
+    """
+    orbax_dir = os.path.join(save_path, "orbax")
+    if os.path.isdir(orbax_dir):
+        steps = [int(d) for d in os.listdir(orbax_dir) if d.isdigit()]
+        if steps:
+            return f"orbax:{orbax_dir}:{max(steps)}"
     load_path = os.path.join(save_path, "Checkpoints")
     if not os.path.exists(load_path):
         return None

@@ -65,7 +65,16 @@ def _load_eval_state(trainer: Trainer, cfg: ExperimentConfig, state=None):
             f"no checkpoint under {cfg.save_path} (Checkpoints/ or best_wts.pt)"
         )
     print(f"   LOADING FROM CKPT FILE: {ckpt_path}")
-    if ckpt_path.endswith(".pt"):
+    # Route by content, not extension (PLTrainer.py:270-330 handles Lightning
+    # .ckpt files, raw .pt state dicts, and ZeRO-2 sharded dirs alike).
+    from hyperpri_tpu.train.checkpoint import detect_checkpoint_format
+
+    fmt = detect_checkpoint_format(ckpt_path)
+    if fmt == "zero_dir":
+        from hyperpri_tpu.train.torch_import import load_zero2_checkpoint_state
+
+        return load_zero2_checkpoint_state(trainer, cfg, ckpt_path)
+    if fmt == "torch":
         from hyperpri_tpu.train.torch_import import load_torch_checkpoint_state
 
         return load_torch_checkpoint_state(trainer, cfg, ckpt_path)

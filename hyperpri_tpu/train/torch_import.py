@@ -19,6 +19,7 @@ Layout transforms:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -138,19 +139,89 @@ def normalize_torch_keys(raw: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def load_torch_checkpoint_state(trainer, cfg, path: str):
-    """Load a torch .pt/.ckpt into a fresh TrainState (eval-time restore)."""
-    import torch
+def _state_from_torch_sd(trainer, cfg, sd: Dict[str, Any]):
+    from flax import serialization
 
     from hyperpri_tpu.train.trainer import create_train_state
 
-    raw = torch.load(path, map_location="cpu", weights_only=False)
-    sd = normalize_torch_keys(raw)
     params, batch_stats = convert_state_dict(sd, cfg.model_name, cfg)
     img = np.zeros((1, 32, 32, cfg.channels), np.float32)
     state = create_train_state(cfg, trainer.model, img, cfg.run_num)
-    from flax import serialization
-
     new_params = serialization.from_state_dict(state.params, params)
     new_stats = serialization.from_state_dict(state.batch_stats, batch_stats)
     return state.replace(params=new_params, batch_stats=new_stats)
+
+
+def load_torch_checkpoint_state(trainer, cfg, path: str):
+    """Load a torch .pt/.ckpt file into a fresh TrainState (eval restore)."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    return _state_from_torch_sd(trainer, cfg, normalize_torch_keys(raw))
+
+
+def consolidate_zero2_dir(ckpt_dir: str) -> Dict[str, Any]:
+    """Merge a DeepSpeed ZeRO-2 sharded checkpoint directory into one fp32
+    state dict — the stand-in for deepspeed's
+    convert_zero_checkpoint_to_fp32_state_dict as driven by the reference
+    (PLTrainer.py:186-216), with no chdir workaround and no deepspeed import.
+
+    Layout (stage 2: params replicated, optimizer partitioned):
+      <dir>/latest                      text file naming the tag subdir
+      <dir>/<tag>/mp_rank_00_model_states.pt
+          'module'       full module state dict (bf16 under 'bf16-mixed')
+          'param_shapes' per-optimizer-group OrderedDict{fqn: shape}
+      <dir>/<tag>/zero_pp_rank_<R>_mp_rank_00_optim_states.pt
+          ['optimizer_state_dict']['single_partition_of_fp32_groups']
+          = per-group 1-D fp32 master shard for rank R (groups flattened in
+            param_shapes order, zero-padded to a multiple of world size)
+
+    The fp32 masters, when present, overwrite the module copies (the module
+    dict may be bf16); BN buffers (running_mean/var) only exist in 'module'.
+    """
+    import glob as _glob
+
+    import torch
+
+    tag = None
+    latest = os.path.join(ckpt_dir, "latest")
+    if os.path.exists(latest):
+        with open(latest) as f:
+            tag = f.read().strip()
+    if tag and os.path.isdir(os.path.join(ckpt_dir, tag)):
+        root = os.path.join(ckpt_dir, tag)
+    else:
+        hits = _glob.glob(os.path.join(ckpt_dir, "**", "*model_states.pt"), recursive=True)
+        if not hits:
+            raise FileNotFoundError(f"no *model_states.pt under {ckpt_dir}")
+        root = os.path.dirname(sorted(hits)[0])
+
+    ms = torch.load(
+        os.path.join(root, "mp_rank_00_model_states.pt"),
+        map_location="cpu",
+        weights_only=False,
+    )
+    sd = {k: v.float() if hasattr(v, "float") else v for k, v in ms["module"].items()}
+
+    optim_files = sorted(_glob.glob(os.path.join(root, "*_optim_states.pt")))
+    param_shapes = ms.get("param_shapes")
+    if optim_files and param_shapes:
+        per_rank = []
+        for f in optim_files:
+            osd = torch.load(f, map_location="cpu", weights_only=False)
+            per_rank.append(osd["optimizer_state_dict"]["single_partition_of_fp32_groups"])
+        for g, shapes in enumerate(param_shapes):
+            flat = torch.cat([torch.as_tensor(r[g]).float().flatten() for r in per_rank])
+            offset = 0
+            for name, shape in shapes.items():
+                numel = int(np.prod(tuple(shape)))
+                sd[name] = flat[offset : offset + numel].view(tuple(shape))
+                offset += numel
+            # anything past `offset` is the world-size alignment padding
+    return sd
+
+
+def load_zero2_checkpoint_state(trainer, cfg, ckpt_dir: str):
+    """Load a DeepSpeed ZeRO-2 sharded directory into a fresh TrainState."""
+    sd = normalize_torch_keys(consolidate_zero2_dir(ckpt_dir))
+    return _state_from_torch_sd(trainer, cfg, sd)

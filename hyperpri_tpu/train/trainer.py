@@ -18,6 +18,7 @@ and two best-model checkpoints — but as pure-functional JAX:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
@@ -355,24 +356,43 @@ class Trainer:
         state = self._place_state(state)
         self._compile_steps(state)
 
-        ckpt = DualCheckpointManager(cfg.save_path)
+        # Under a mesh, per-epoch full-state saves go through orbax: sharded
+        # write + sharding-aware restore, each host writing only its shards
+        # (SURVEY §2.2's zero_to_fp32 row — no consolidation step exists).
+        # Best-model exports stay msgpack for the eval tooling either way.
+        use_orbax = self.mesh is not None and cfg.orbax_under_mesh
+        orbax = None
+        if use_orbax:
+            from hyperpri_tpu.train.orbax_io import OrbaxCheckpointer
+
+            orbax = OrbaxCheckpointer(os.path.join(cfg.save_path, "orbax"))
+        ckpt = DualCheckpointManager(cfg.save_path, save_last=not use_orbax)
         logger = ExperimentLogger(cfg.save_path, hparams=cfg)
         start_epoch, wait = 0, 0
         best_val_loss, best_val_dice = float("inf"), float("-inf")
 
         if resume_from:
-            payload = load_pytree(
-                resume_from,
-                target={
-                    "state": _state_ckpt_view(state),
-                    "epoch": 0,
-                    "wait": 0,
-                    "best_val_loss": 0.0,
-                    "best_val_dice": 0.0,
-                },
-            )
-            state = _restore_state(state, payload["state"])
-            state = self._place_state(state)
+            target = {
+                "state": _state_ckpt_view(state),
+                "epoch": 0,
+                "wait": 0,
+                "best_val_loss": 0.0,
+                "best_val_dice": 0.0,
+            }
+            if resume_from.startswith("orbax:"):
+                if orbax is None:
+                    raise ValueError(
+                        f"orbax resume pointer {resume_from} but orbax is not "
+                        "active (no mesh or orbax_under_mesh=False)"
+                    )
+                step = int(resume_from.rsplit(":", 1)[1])
+                payload = orbax.restore(step, target=target)
+                state = _restore_state(state, payload["state"])
+                # sharded leaves were restored directly into their shardings
+            else:
+                payload = load_pytree(resume_from, target=target)
+                state = _restore_state(state, payload["state"])
+                state = self._place_state(state)
             start_epoch = int(payload["epoch"]) + 1
             wait = int(payload["wait"])
             best_val_loss = float(payload["best_val_loss"])
@@ -432,19 +452,35 @@ class Trainer:
                 wait += 1
             best_val_dice = max(best_val_dice, vl["dice"])
 
-            host_state = jax.device_get(_state_ckpt_view(state))
-            payload = {
-                "state": host_state,
-                "epoch": epoch,
-                "wait": wait,
-                "best_val_loss": best_val_loss,
-                "best_val_dice": best_val_dice,
-            }
-            weights_only = {
-                "params": host_state["params"],
-                "batch_stats": host_state["batch_stats"],
-            }
-            ckpt.step(epoch, vl["loss"], vl["dice"], payload, weights_only)
+            any_best = vl["loss"] <= ckpt.best_val_loss or vl["dice"] >= ckpt.best_val_dice
+            if orbax is not None:
+                # sharded per-epoch save; device buffers are snapshotted to
+                # host synchronously inside save(), so donation next epoch
+                # is safe even with async disk writes
+                orbax.save(
+                    epoch,
+                    {
+                        "state": _state_ckpt_view(state),
+                        "epoch": epoch,
+                        "wait": wait,
+                        "best_val_loss": best_val_loss,
+                        "best_val_dice": best_val_dice,
+                    },
+                )
+            if orbax is None or any_best:
+                host_state = jax.device_get(_state_ckpt_view(state))
+                payload = {
+                    "state": host_state,
+                    "epoch": epoch,
+                    "wait": wait,
+                    "best_val_loss": best_val_loss,
+                    "best_val_dice": best_val_dice,
+                }
+                weights_only = {
+                    "params": host_state["params"],
+                    "batch_stats": host_state["batch_stats"],
+                }
+                ckpt.step(epoch, vl["loss"], vl["dice"], payload, weights_only)
 
             if wait >= cfg.overall:  # EarlyStopping('val_loss', patience=...)
                 stopped = True
@@ -452,6 +488,8 @@ class Trainer:
                     print(f"Early stopping at epoch {epoch} (patience {cfg.overall})")
                 break
 
+        if orbax is not None:
+            orbax.close()  # drain pending async writes before returning
         return FitResult(
             epochs_run=epoch - start_epoch + 1,
             best_val_loss=best_val_loss,

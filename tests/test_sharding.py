@@ -226,3 +226,44 @@ def test_no_involuntary_remat_with_zero_and_spatial(tmp_path):
     remats = [l for l in text.splitlines() if "Involuntary full rematerialization" in l]
     assert not remats, "\n".join(remats[:5])
     assert np.isfinite(float(logs["loss_sum"]))
+
+
+def test_mesh_fit_checkpoints_via_orbax_and_resumes(tmp_path):
+    """Under a mesh, per-epoch full-state checkpoints go through orbax
+    (sharded write); a killed run resumes from the orbax step with
+    sharding-aware restore (VERDICT r1 item 7)."""
+    import os
+
+    from hyperpri_tpu.data.synthetic import make_experiment_tree
+    from hyperpri_tpu.train.checkpoint import find_resume_checkpoint
+    from hyperpri_tpu.train.trainer import train_net
+
+    make_experiment_tree(str(tmp_path), n_boxes=2, dates_per_box=2, size_hw=(16, 16), bands=8)
+    cfg = _tiny_cfg(mesh_shape={"data": 2, "spatial": 4}, zero_shard_opt=True)
+    cfg.calling_path = str(tmp_path)
+    cfg.__post_init__()
+    cfg.hsi_lo, cfg.hsi_hi = 0, 8
+    cfg.channels = 8
+
+    train_net(cfg, max_epochs=2, progress=False)
+    orbax_dir = os.path.join(cfg.save_path, "orbax")
+    steps = sorted(int(d) for d in os.listdir(orbax_dir) if d.isdigit())
+    assert steps == [0, 1]
+    # every-epoch last.ckpt is replaced by the orbax stream under a mesh
+    assert not os.path.exists(os.path.join(cfg.save_path, "Checkpoints", "last.ckpt"))
+    # best-model msgpack exports still written for the eval tooling
+    assert any(
+        c.startswith("epoch=") for c in os.listdir(os.path.join(cfg.save_path, "Checkpoints"))
+    )
+
+    ptr = find_resume_checkpoint(cfg.save_path)
+    assert ptr is not None and ptr.startswith("orbax:") and ptr.endswith(":1")
+
+    cfg2 = _tiny_cfg(mesh_shape={"data": 2, "spatial": 4}, zero_shard_opt=True)
+    cfg2.calling_path = str(tmp_path)
+    cfg2.__post_init__()
+    cfg2.hsi_lo, cfg2.hsi_hi = 0, 8
+    cfg2.channels = 8
+    trainer2 = train_net(cfg2, checkpoint=True, max_epochs=4, progress=False)
+    # resumed at epoch 2: ran epochs 2 and 3 only
+    assert trainer2.fit_result.epochs_run == 2
