@@ -89,6 +89,7 @@ class ExperimentConfig:
     # TPU execution -------------------------------------------------------
     precision: str = "fp32"  # 'fp32' | 'bf16'
     remat: bool = False
+    pallas_train: bool = False  # trainable Pallas convs for full-res layers
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {'data': 2, 'spatial': 4}
     zero_shard_opt: bool = False  # ZeRO-equivalent sharded optimizer state
     offload_opt_state: bool = False  # ZeRO-3-offload equivalent: Adam moments in host memory
@@ -150,6 +151,7 @@ class ExperimentConfig:
             "spectral_bn_size": self.spectral_bn_size,
             "3d_featmaps": self.cube_featmaps,
             "remat": self.remat,
+            "pallas_train": self.pallas_train,
         }
 
     def get_network(self):

@@ -129,6 +129,101 @@ def pad_to_match(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
     )
 
 
+class Conv3x3(nn.Module):
+    """3x3 SAME conv (+bias) that routes through the trainable fused Pallas
+    kernel (ops/pallas/conv_train.py) when `pallas_train` is on, the backend
+    is TPU, and the shape is in the regime where XLA's conv lowering
+    collapses (full-resolution maps with shallow channels: the hlo_stats
+    trace shows XLA spending 2/3 of the CubeNET train step on HBM-bound
+    spatial-blocking machinery for exactly these layers).
+
+    Parameter names/shapes are identical to nn.Conv ('kernel' (3,3,C,O),
+    'bias' (O,)), so the flag can be toggled on any existing checkpoint.
+    """
+
+    features: int
+    pallas_train: bool = False
+    min_pixels: int = 140_000  # H*W threshold: Pallas pays off above this
+    max_channels: int = 256  # deep-channel tiles are already MXU-efficient in XLA
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        use_pallas = (
+            self.pallas_train
+            and jax.default_backend() == "tpu"
+            and x.shape[1] * x.shape[2] >= self.min_pixels
+            and max(c, self.features) <= self.max_channels
+        )
+        x = x.astype(self.dtype)
+        if use_pallas:
+            from hyperpri_tpu.ops.pallas.conv_train import conv3x3_bias_train
+
+            return conv3x3_bias_train(x, kernel.astype(self.dtype), bias.astype(jnp.float32))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(self.dtype),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+class ConvTranspose2x2(nn.Module):
+    """ConvTranspose2d(kernel=2, stride=2) as a matmul + depth-to-space.
+
+    Replaces nn.ConvTranspose for the decoder upsamples (reference
+    model_parts.py:63: nn.ConvTranspose2d(in, in//2, kernel_size=2, stride=2)).
+    A k2s2 transposed conv has non-overlapping output blocks, so it is exactly
+    one (N*H*W, C) x (C, 4*O) matmul followed by a pixel-shuffle reshape:
+
+        out[n, 2i+di, 2j+dj, o] = sum_c x[n,i,j,c] * kernel[1-di, 1-dj, c, o]
+
+    (kernel flip empirically pinned against flax nn.ConvTranspose and torch,
+    tests/test_torch_parity.py). In *isolation* this form wins big on TPU:
+    the input-dilation backward at 304x484 measures 5.9 ms vs 2.3 ms for the
+    matmul (scripts/profile_ops.py). In the full CubeNET train step it LOSES
+    (178 vs 167 ms measured): the depth-to-space transpose materializes a
+    full-resolution HBM shuffle that XLA fused away in the dilated-conv
+    lowering. Kept (with parity test) as the building block for a future
+    fused upsample+concat kernel; the models use nn.ConvTranspose.
+    Parameter names/shapes are identical to nn.ConvTranspose
+    ('kernel' (2,2,C,O), 'bias' (O,)), so checkpoints are interchangeable.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        o = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (2, 2, c, o), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (o,), jnp.float32)
+        n, h, w, _ = x.shape
+        k = kernel[::-1, ::-1].astype(self.dtype)  # flip: see docstring
+        km = jnp.transpose(k, (2, 0, 1, 3)).reshape(c, 4 * o)
+        y = jax.lax.dot_general(
+            x.reshape(n * h * w, c),
+            km,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+        )
+        y = (
+            y.reshape(n, h, w, 2, 2, o)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, 2 * h, 2 * w, o)
+        )
+        return (y + bias.astype(self.dtype)).astype(self.dtype)
+
+
 class PallasConv3x3(nn.Module):
     """3x3 SAME conv + bias (+ReLU) through the fused Pallas kernel
     (ops/pallas/conv3x3.py). Parameter layout identical to nn.Conv, so
@@ -169,6 +264,7 @@ class DoubleConv(nn.Module):
     mid_channels: Optional[int] = None
     fused_bn: bool = False  # inference path: BN folded into conv (ops/fold_bn.py)
     use_pallas: bool = False
+    pallas_train: bool = False  # trainable Pallas convs at full-res shapes
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -177,11 +273,13 @@ class DoubleConv(nn.Module):
         if self.fused_bn and self.use_pallas:
             x = PallasConv3x3(mid, dtype=self.dtype, name="conv1")(x)
             return PallasConv3x3(self.out_channels, dtype=self.dtype, name="conv2")(x)
-        x = nn.Conv(mid, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(x)
+        x = Conv3x3(mid, pallas_train=self.pallas_train, dtype=self.dtype, name="conv1")(x)
         if not self.fused_bn:
             x = TorchBatchNorm(name="bn1")(x, use_running_average=not train)
         x = nn.relu(x).astype(self.dtype)
-        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(x)
+        x = Conv3x3(
+            self.out_channels, pallas_train=self.pallas_train, dtype=self.dtype, name="conv2"
+        )(x)
         if not self.fused_bn:
             x = TorchBatchNorm(name="bn2")(x, use_running_average=not train)
         return nn.relu(x).astype(self.dtype)
@@ -197,6 +295,7 @@ class Down(nn.Module):
     out_channels: int
     fused_bn: bool = False
     use_pallas: bool = False
+    pallas_train: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -206,6 +305,7 @@ class Down(nn.Module):
             self.out_channels,
             fused_bn=self.fused_bn,
             use_pallas=self.use_pallas,
+            pallas_train=self.pallas_train,
             dtype=self.dtype,
             name="conv",
         )(x, train=train)
@@ -226,6 +326,7 @@ class Up(nn.Module):
     use_attention: bool = False
     fused_bn: bool = False
     use_pallas: bool = False
+    pallas_train: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -240,6 +341,7 @@ class Up(nn.Module):
                 self.in_channels // 2,
                 fused_bn=self.fused_bn,
                 use_pallas=self.use_pallas,
+                pallas_train=self.pallas_train,
                 dtype=self.dtype,
                 name="conv",
             )
@@ -252,7 +354,14 @@ class Up(nn.Module):
                 dtype=self.dtype,
                 name="up",
             )(x1)
-            conv = DoubleConv(self.out_channels, fused_bn=self.fused_bn, use_pallas=self.use_pallas, dtype=self.dtype, name="conv")
+            conv = DoubleConv(
+                self.out_channels,
+                fused_bn=self.fused_bn,
+                use_pallas=self.use_pallas,
+                pallas_train=self.pallas_train,
+                dtype=self.dtype,
+                name="conv",
+            )
 
         x1 = pad_to_match(x1, x2.shape[1], x2.shape[2])
         if self.use_attention:

@@ -32,6 +32,7 @@ def initialize_model(
             bilinear=network_parameters.get("bilinear", True),
             use_attention=network_parameters.get("use_attention", False) or name == "unet+",
             analyze=analyze,
+            pallas_train=network_parameters.get("pallas_train", False),
             dtype=dtype,
         )
     if name == "spectralunet":
@@ -52,6 +53,7 @@ def initialize_model(
             bilinear=network_parameters.get("bilinear", True),
             use_attention=network_parameters.get("use_attention", False),
             analyze=analyze,
+            pallas_train=network_parameters.get("pallas_train", False),
             dtype=dtype,
         )
     raise RuntimeError(f"Invalid model: {model_name!r}")

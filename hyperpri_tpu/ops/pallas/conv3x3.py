@@ -47,18 +47,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _conv_kernel(*refs, th: int, wo: int, relu: bool, n_chunks: int):
-    x_refs = refs[:n_chunks]
-    w_ref, b_ref, o_ref, acc_ref = refs[n_chunks : n_chunks + 4]
+    x_ref, w_ref, b_ref, o_ref, acc_ref = refs
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    for k, x_ref in enumerate(x_refs):
+    # channels processed in 128-lane chunks via static in-VMEM slices (the
+    # chunked K dots measure 15-25% faster than one K=C dot; a single input
+    # array avoids materializing per-chunk HBM copies of the whole tensor)
+    for k in range(n_chunks):
         for dh in range(3):
             for dw in range(3):
-                xs = x_ref[0, dh : dh + th, dw : dw + wo, :]
-                xs2 = xs.reshape(th * wo, xs.shape[-1])
+                xs = x_ref[0, dh : dh + th, dw : dw + wo, k * LANE : (k + 1) * LANE]
+                xs2 = xs.reshape(th * wo, LANE)
                 acc_ref[...] += jax.lax.dot_general(
                     xs2,
-                    w_ref[dh, dw, k * LANE : k * LANE + xs.shape[-1], :],
+                    w_ref[dh, dw, k * LANE : (k + 1) * LANE, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -98,10 +100,10 @@ def conv3x3_bias_act(
     n_chunks = cp // LANE
 
     # Auto-fit the H tile to the ~16 MB scoped-VMEM budget: double-buffered
-    # input chunks + weights + output, plus the f32 accumulator scratch.
+    # input block + weights + output, plus the f32 accumulator scratch.
     def vmem_bytes(th_):
         esz = x.dtype.itemsize
-        x_b = 2 * n_chunks * (th_ + 2) * wb * LANE * esz
+        x_b = 2 * (th_ + 2) * wb * cp * esz
         w_b = 2 * 9 * cp * to * w.dtype.itemsize
         o_b = 2 * th_ * wo * to * jnp.dtype(out_dtype).itemsize
         acc = th_ * wo * to * 4
@@ -116,7 +118,6 @@ def conv3x3_bias_act(
     # right/channel to alignment. All padding is zeros -> exact outputs.
     bottom = n_h_blocks * th - h + 1
     xp = jnp.pad(x, ((0, 0), (1, bottom), (1, wb - width - 1), (0, cp - c)))
-    x_chunks = [xp[..., k * LANE : (k + 1) * LANE] for k in range(n_chunks)]
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, cp - c), (0, op - o)))
     # Bias as a 2-D (8, op) tile so each Cout-tile is a standard blocked
     # read (Mosaic cannot prove dynamic 1-D slices aligned).
@@ -127,15 +128,15 @@ def conv3x3_bias_act(
     flops = 2 * n * h * width * c * o * 9
 
     x_spec = pl.BlockSpec(
-        (Element(1), Element(th + 2), Element(wb), Element(LANE)),
+        (Element(1), Element(th + 2), Element(wb), Element(cp)),
         lambda bn, i, j: (bn, i * th, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[x_spec] * n_chunks
-        + [
+        in_specs=[
+            x_spec,
             pl.BlockSpec((3, 3, cp, to), lambda bn, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, to), lambda bn, i, j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -148,5 +149,5 @@ def conv3x3_bias_act(
             flops=flops, bytes_accessed=x.size * x.dtype.itemsize * 2, transcendentals=0
         ),
         interpret=interpret,
-    )(*x_chunks, wp, bp)
+    )(xp, wp, bp)
     return out[:, :h, :width, :o]

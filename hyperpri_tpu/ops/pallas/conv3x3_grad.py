@@ -1,0 +1,129 @@
+"""Pallas TPU kernel: 3x3 SAME conv weight gradient (dW), NHWC.
+
+dW[dh, dw, c, o] = sum_{n,h,w} x_pad[n, h+dh, w+dw, c] * g[n, h, w, o]
+
+This is the missing piece for running the fused Pallas conv in *training*:
+XLA's own kernel-gradient convolution at the full-resolution shallow layers
+is the single largest chunk of the 125 ms CubeNET backward (hlo_stats trace,
+scripts/trace_train.py) because GSPMD blocks the 968-wide spatial axis
+through HBM. Here the whole (3, 3, C, O) accumulator lives in VMEM across
+the entire grid; each grid step loads one (TH+2)-row halo block of x and the
+matching TH-row block of g and issues 9 (C, TH*W) x (TH*W, O) MXU dots.
+
+Same packing rules as the forward kernel (ops/pallas/conv3x3.py): channels
+in <=128-lane chunks, W padded to a multiple of 8, halo via Element-indexed
+overlapping windows over a pre-padded input. f32 accumulation; output f32.
+Validated against jax.grad of lax.conv_general_dilated (tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jax._src.pallas.core import Element  # noqa: E402 (not yet re-exported)
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _wgrad_kernel(*refs, th: int, wo: int, n_chunks: int):
+    x_ref, g_ref, o_ref = refs
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    g2 = g_ref[0].reshape(th * wo, g_ref.shape[-1])
+    for k in range(n_chunks):
+        for dh in range(3):
+            for dw in range(3):
+                xs = x_ref[0, dh : dh + th, dw : dw + wo, k * LANE : (k + 1) * LANE]
+                xs2 = xs.reshape(th * wo, LANE)
+                # (C, THW) x (THW, O): contract over the pixel axis
+                o_ref[dh, dw, k * LANE : (k + 1) * LANE, :] += jax.lax.dot_general(
+                    xs2,
+                    g2,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+def conv3x3_wgrad(
+    x: jnp.ndarray,
+    g: jnp.ndarray,
+    *,
+    th: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """dW (3, 3, C, O) f32 for y = conv3x3_same(x, w), given cotangent g.
+
+    x: (N, H, W, C); g: (N, H, W, O).
+    """
+    n, h, width, c = x.shape
+    gn, gh, gw, o = g.shape
+    assert (gn, gh, gw) == (n, h, width), (x.shape, g.shape)
+    th = min(th, _round_up(h, 8))
+
+    wo = _round_up(width, 8)
+    wb = _round_up(wo + 2, 8)
+    cp = _round_up(c, LANE)
+    op = _round_up(o, LANE if o > 8 else 8)
+    n_chunks = cp // LANE
+
+    def vmem_bytes(th_):
+        esz = x.dtype.itemsize
+        x_b = 2 * (th_ + 2) * wb * cp * esz
+        g_b = 2 * th_ * wo * op * g.dtype.itemsize
+        o_b = 9 * cp * op * 4
+        return x_b + g_b + o_b
+
+    while th > 4 and vmem_bytes(th) > 12 * 1024 * 1024:
+        th //= 2
+
+    n_h_blocks = pl.cdiv(h, th)
+    bottom = n_h_blocks * th - h + 1
+    # x: 1-px SAME border + bottom/right alignment (zeros); g: zero-pad rows
+    # and columns so padded pixels contribute nothing to the accumulation.
+    xp = jnp.pad(x, ((0, 0), (1, bottom), (1, wb - width - 1), (0, cp - c)))
+    gp = jnp.pad(g, ((0, 0), (0, n_h_blocks * th - h), (0, wo - width), (0, op - o)))
+
+    grid = (n, n_h_blocks)
+    kernel = functools.partial(_wgrad_kernel, th=th, wo=wo, n_chunks=n_chunks)
+    flops = 2 * n * h * width * c * o * 9
+
+    x_spec = pl.BlockSpec(
+        (Element(1), Element(th + 2), Element(wb), Element(cp)),
+        lambda bn, i: (bn, i * th, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    g_spec = pl.BlockSpec(
+        (1, th, wo, op), lambda bn, i: (bn, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[x_spec, g_spec],
+        out_specs=pl.BlockSpec(
+            (3, 3, cp, op), lambda bn, i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, 3, cp, op), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize + g.size * g.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, gp)
+    return out[:, :, :c, :o]

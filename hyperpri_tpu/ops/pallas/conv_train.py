@@ -1,0 +1,63 @@
+"""Trainable fused Pallas 3x3 conv: forward kernel + custom VJP.
+
+Forward: conv3x3_bias_act (ops/pallas/conv3x3.py) with relu off — the model's
+Conv->BN->ReLU keeps BN/ReLU in XLA (cheap, fusible elementwise) and routes
+only the convolution itself through Pallas.
+
+Backward:
+  dX = conv3x3_same(g, W') with W'[dh,dw,o,c] = W[2-dh, 2-dw, c, o]
+       (the adjoint of a stride-1 SAME conv is a SAME conv with the
+        spatially-flipped, channel-transposed kernel) — the *same* forward
+       kernel, so dX inherits its VMEM halo pipeline;
+  dW = conv3x3_wgrad (ops/pallas/conv3x3_grad.py);
+  db = sum(g) over N,H,W (left to XLA: one fusible reduction).
+
+Gradient dtypes match the XLA path: operands are the model's compute dtype
+(bf16 in training), accumulation f32, cotangents returned in operand dtype.
+
+Why this exists: the hlo_stats trace of the 167 ms CubeNET train step shows
+84 ms of HBM-bound "loop fusion" + 25 ms of layout copies, nearly all of it
+XLA's spatial blocking of the full-resolution (608x968, 64-238 channel)
+convolutions — the machinery this kernel family keeps in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from hyperpri_tpu.ops.pallas.conv3x3 import conv3x3_bias_act
+from hyperpri_tpu.ops.pallas.conv3x3_grad import conv3x3_wgrad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_bias_train(x, w, b, interpret=False):
+    """y = conv3x3_same(x, w) + b, differentiable, Pallas on TPU.
+
+    x: (N, H, W, C); w: (3, 3, C, O); b: (O,) float32.
+    """
+    return conv3x3_bias_act(x, w, b, relu=False, out_dtype=x.dtype, interpret=interpret)
+
+
+def _fwd(x, w, b, interpret):
+    y = conv3x3_bias_act(x, w, b, relu=False, out_dtype=x.dtype, interpret=interpret)
+    return y, (x, w)
+
+
+def _bwd(interpret, res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    # adjoint kernel: spatial flip + (C, O) transpose
+    wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
+    dx = conv3x3_bias_act(
+        g, wt, zero_bias, relu=False, out_dtype=x.dtype, interpret=interpret
+    )
+    dw = conv3x3_wgrad(x, g, interpret=interpret).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dw, db
+
+
+conv3x3_bias_train.defvjp(_fwd, _bwd)

@@ -33,6 +33,8 @@ def main():
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--spectral-crop", type=int, default=None,
                    help="override W for SpectralUNET (reference uses 700)")
+    p.add_argument("--pallas-train", action="store_true",
+                   help="route full-res convs through the trainable Pallas kernels")
     args = p.parse_args()
 
     import jax
@@ -49,6 +51,7 @@ def main():
         cfg.model_name = args.model
         channels = cfg.channels
     cfg.precision = args.precision
+    cfg.pallas_train = args.pallas_train
     if args.model == "SpectralUNET":
         # full-res SpectralUNET needs remat + (reference protocol) a W crop;
         # single-chip also needs batch 1 (the reference needed 2 GPUs under

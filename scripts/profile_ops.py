@@ -58,14 +58,31 @@ def main():
             for i, (s, dt) in enumerate(zip(list(arg_shapes) + list(param_shapes), dtypes))
         ]
 
+        # sum of squares: a plain sum(conv(x,w)) gets algebraically rewritten
+        # by XLA into conv-of-sums (measured: 1024-ch conv "ran" in 0.07 ms),
+        # and it also makes the backward cotangent realistic (2y, not ones)
         def scalar_of(x):
-            return jnp.sum(x.astype(jnp.float32)) * 1e-20
+            x = x.astype(jnp.float32)
+            return jnp.sum(x * x) * 1e-20
+
+        def perturb(vals, k):
+            # real data dependence on the step key so the scan body cannot be
+            # hoisted as loop-invariant; one broadcasted multiply per input
+            eps = jax.random.normal(k, (), jnp.float32) * 1e-8
+            return [v * (1 + eps).astype(v.dtype) for v in vals]
+
+        @jax.jit
+        def run_pass(vals, key):
+            def step(acc, k):
+                noisy = perturb(vals, k)
+                return acc + sum(scalar_of(v) for v in noisy), None
+            acc, _ = jax.lax.scan(step, jnp.zeros(()), jax.random.split(key, K))
+            return acc
 
         @jax.jit
         def run_fwd(vals, key):
             def step(acc, k):
-                noisy = [v + jax.random.normal(k, (), jnp.float32).astype(v.dtype) * 0
-                         for v in vals]
+                noisy = perturb(vals, k)
                 return acc + scalar_of(f(*noisy)), None
             acc, _ = jax.lax.scan(step, jnp.zeros(()), jax.random.split(key, K))
             return acc
@@ -73,8 +90,7 @@ def main():
         @jax.jit
         def run_bwd(vals, key):
             def step(acc, k):
-                noisy = [v + jax.random.normal(k, (), jnp.float32).astype(v.dtype) * 0
-                         for v in vals]
+                noisy = perturb(vals, k)
                 def lf(*vs):
                     return scalar_of(f(*vs)) * 1e20
                 g = jax.grad(lf, argnums=tuple(range(len(noisy))))(*noisy)
@@ -82,19 +98,35 @@ def main():
             acc, _ = jax.lax.scan(step, jnp.zeros(()), jax.random.split(key, K))
             return acc
 
-        tf_ = (timeit(run_fwd, vals, jax.random.key(1)) - rtt) / K * 1e3
-        tb = (timeit(run_bwd, vals, jax.random.key(2)) - rtt) / K * 1e3
-        print(f"{name:34s} fwd {tf_:8.2f} ms   fwd+bwd {tb:8.2f} ms   bwd-only {tb - tf_:8.2f} ms", flush=True)
+        t0 = (timeit(run_pass, vals, jax.random.key(1)) - rtt) / K * 1e3
+        tf_ = (timeit(run_fwd, vals, jax.random.key(1)) - rtt) / K * 1e3 - t0
+        tb = (timeit(run_bwd, vals, jax.random.key(2)) - rtt) / K * 1e3 - t0
+        print(f"{name:34s} fwd {tf_:8.2f} ms   fwd+bwd {tb:8.2f} ms   bwd-only {tb - tf_:8.2f} ms   (perturb+reduce {t0:.2f})", flush=True)
 
+    # match the model's lowering exactly: flax nn.Conv(dtype=bf16) runs the
+    # conv with both operands bf16 and NO preferred_element_type (whose VJP
+    # rejects mixed-dtype cotangents anyway)
     conv = lambda o: lambda x, w: jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(bf16)
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     def convT(x, w):
         # flax ConvTranspose k2s2 equivalent
         return jax.lax.conv_transpose(
-            x, w, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(bf16)
+            x, w, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def convT_matmul(x, w):
+        # same op as a (flipped-kernel) matmul + depth-to-space
+        n, h, wd, c = x.shape
+        o = w.shape[-1]
+        km = jnp.transpose(w[::-1, ::-1], (2, 0, 1, 3)).reshape(c, 4 * o)
+        y = jax.lax.dot_general(
+            x.reshape(n * h * wd, c), km,
+            dimension_numbers=(((1,), (0,)), ((), ())))
+        return (
+            y.reshape(n, h, wd, 2, 2, o)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, 2 * h, 2 * wd, o)
+        )
 
     def pool(x):
         return nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -133,6 +165,8 @@ def main():
         "up4conv 128->64 @608x968": (conv(64), [(B, 608, 968, 128)], [(3, 3, 128, 64)], None),
         "convT 1024->512 @38x60": (convT, [(B, 38, 60, 1024)], [(2, 2, 1024, 512)], None),
         "convT 128->64 @304x484": (convT, [(B, 304, 484, 128)], [(2, 2, 128, 64)], None),
+        "convTmm 1024->512 @38x60": (convT_matmul, [(B, 38, 60, 1024)], [(2, 2, 1024, 512)], None),
+        "convTmm 128->64 @304x484": (convT_matmul, [(B, 304, 484, 128)], [(2, 2, 128, 64)], None),
         "maxpool @608x968x64": (pool, [(B, 608, 968, 64)], [], None),
         "maxpool_reshape @608x968x64": (pool_reshape, [(B, 608, 968, 64)], [], None),
         "maxpool @304x484x128": (pool, [(B, 304, 484, 128)], [], None),

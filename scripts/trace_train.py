@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the CubeNET train step and print the
+per-HLO-op device-time table (top N) via xprof's hlo_stats converter.
+
+This is the ground-truth view of where the 167 ms step goes — the op-level
+microbenchmarks (profile_ops.py) can't see composition effects (fusion
+boundaries, layout transposes between ops).
+
+Usage: python scripts/trace_train.py [--steps 4] [--top 40] [--infer]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--top", type=int, default=40)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--infer", action="store_true", help="trace inference instead")
+    p.add_argument("--out", default=None, help="save full hlo_stats CSV here")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyperpri_tpu.config import ExpHyperspectralPRI
+    from hyperpri_tpu.train.trainer import create_train_state, make_train_step
+
+    cfg = ExpHyperspectralPRI(calling_path=".")
+    cfg.model_name = "CubeNET"
+    cfg.precision = "bf16"
+    channels = cfg.channels
+    model = cfg.get_network()
+    state = create_train_state(cfg, model, np.zeros((1, 64, 64, channels), np.float32), seed=0)
+    train_step = make_train_step(cfg.threshold)
+
+    b, h, w = args.batch, 608, 968
+    K = args.steps
+
+    @jax.jit
+    def run(state, key):
+        def body(carry, k):
+            st, acc = carry
+            image = jax.random.normal(k, (b, h, w, channels), jnp.float32)
+            mask = (jax.random.uniform(k, (b, h, w, 1)) < 0.3).astype(jnp.float32)
+            batch = {"image": image, "mask": mask, "valid": jnp.ones((b,))}
+            if args.infer:
+                logits = st.apply_fn(
+                    {"params": st.params, "batch_stats": st.batch_stats},
+                    image.astype(jnp.bfloat16), train=False)
+                return (st, acc + jnp.sum(logits * logits) * 1e-20), None
+            st, logs = train_step(st, batch)
+            return (st, acc + logs["loss_sum"]), None
+        (state, acc), _ = jax.lax.scan(body, (state, jnp.zeros(())), jax.random.split(key, K))
+        return acc
+
+    float(run(state, jax.random.key(0)))  # compile + warm
+
+    tdir = tempfile.mkdtemp(prefix="jaxtrace_")
+    jax.profiler.start_trace(tdir)
+    float(run(state, jax.random.key(1)))
+    jax.profiler.stop_trace()
+
+    xspaces = glob.glob(os.path.join(tdir, "**", "*.xplane.pb"), recursive=True)
+    print(f"trace: {xspaces}", file=sys.stderr)
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(xspaces, "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", errors="replace")
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(data)
+        print(f"wrote {args.out}", file=sys.stderr)
+
+    # hlo_stats is JSON (gviz) or CSV depending on version; handle both
+    rows = []
+    try:
+        obj = json.loads(data)
+        cols = [c["label"] for c in obj["cols"]]
+        for r in obj["rows"]:
+            rows.append({c: (v or {}).get("v") for c, v in zip(cols, r["c"])})
+    except Exception:
+        import csv as _csv
+        import io
+        rd = _csv.DictReader(io.StringIO(data))
+        rows = list(rd)
+    if not rows:
+        print(data[:2000])
+        return
+
+    keys = rows[0].keys()
+    time_key = next((k for k in keys if "total time" in k.lower() or "self time (us)" in k.lower()
+                     or k.lower().startswith("total_time")), None)
+    if time_key is None:
+        time_key = next((k for k in keys if "time" in k.lower() and "%" not in k), list(keys)[0])
+    name_key = next((k for k in keys if "expression" in k.lower() or "hlo" in k.lower()
+                     or "name" in k.lower()), list(keys)[0])
+    cat_key = next((k for k in keys if "category" in k.lower()), None)
+
+    def tval(r):
+        try:
+            return float(r[time_key])
+        except (TypeError, ValueError):
+            return 0.0
+
+    rows.sort(key=tval, reverse=True)
+    total = sum(tval(r) for r in rows)
+    print(f"columns: {list(keys)}", file=sys.stderr)
+    print(f"TOTAL {time_key}: {total/K:.0f} us/step over {K} steps")
+    for r in rows[: args.top]:
+        cat = (r.get(cat_key) or "")[:18] if cat_key else ""
+        name = str(r.get(name_key))[:110]
+        print(f"{tval(r)/K:10.1f} us  {cat:18s} {name}")
+
+
+if __name__ == "__main__":
+    main()

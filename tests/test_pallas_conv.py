@@ -45,3 +45,60 @@ def test_conv3x3_no_relu(rng):
     out = conv3x3_bias_act(x, wk, b, relu=False, interpret=True)
     assert float(jnp.min(ref)) < 0  # negative values survive
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+# ---- training path: custom VJP (wgrad kernel + adjoint-conv dX) ----
+
+
+@pytest.mark.parametrize(
+    "n,h,w,c,o",
+    [
+        (2, 16, 24, 8, 16),
+        (1, 9, 11, 16, 8),    # odd spatial
+        (1, 10, 12, 136, 8),  # >128 input channels (2 lane chunks)
+    ],
+)
+def test_conv3x3_train_grads_match_xla(rng, n, h, w, c, o):
+    from hyperpri_tpu.ops.pallas.conv_train import conv3x3_bias_train
+
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    wk = jnp.asarray((rng.normal(size=(3, 3, c, o)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+
+    def loss_pallas(x, wk, b):
+        y = conv3x3_bias_train(x, wk, b, True)  # interpret mode
+        return jnp.sum(y * jnp.cos(y.astype(jnp.float32)))
+
+    def loss_xla(x, wk, b):
+        y = xla_conv(x, wk, b, relu=False)
+        return jnp.sum(y * jnp.cos(y))
+
+    ref_l, ref_g = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(x, wk, b)
+    out_l, out_g = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2))(x, wk, b)
+    np.testing.assert_allclose(float(out_l), float(ref_l), rtol=1e-5)
+    for got, want, name in zip(out_g, ref_g, ["dx", "dw", "db"]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-4,
+            err_msg=f"{name} mismatch",
+        )
+
+
+def test_conv3x3_wgrad_kernel_direct(rng):
+    from hyperpri_tpu.ops.pallas.conv3x3_grad import conv3x3_wgrad
+
+    n, h, w, c, o = 2, 12, 10, 8, 16
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, h, w, o)).astype(np.float32))
+
+    def fwd(wk):
+        return jnp.sum(
+            jax.lax.conv_general_dilated(
+                x, wk, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            * g
+        )
+
+    ref = jax.grad(fwd)(jnp.zeros((3, 3, c, o), jnp.float32))
+    out = conv3x3_wgrad(x, g, interpret=True)
+    assert out.shape == (3, 3, c, o) and out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -56,6 +56,31 @@ def test_conv_transpose_k2s2_weight_transform(rng):
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
 
 
+def test_conv_transpose_2x2_matmul_form(rng):
+    """The production ConvTranspose2x2 (matmul + depth-to-space) matches both
+    flax nn.ConvTranspose and torch ConvTranspose2d with the same weights."""
+    from hyperpri_tpu.models.parts import ConvTranspose2x2
+
+    x = rng.normal(size=(2, 6, 5, 8)).astype(np.float32)
+    tconv = torch.nn.ConvTranspose2d(8, 4, kernel_size=2, stride=2)
+    w = tconv.weight.detach().numpy()
+    b = tconv.bias.detach().numpy()
+    ref = to_nhwc(tconv(nchw(x)))
+
+    params = {
+        "kernel": jnp.asarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()),
+        "bias": jnp.asarray(b),
+    }
+    ours = ConvTranspose2x2(4).apply({"params": params}, jnp.asarray(x))
+    assert ours.shape == ref.shape == (2, 12, 10, 4)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
+
+    flax_ref = nn.ConvTranspose(4, (2, 2), strides=(2, 2), padding="VALID").apply(
+        {"params": params}, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(flax_ref), atol=1e-5)
+
+
 def test_batchnorm_eval_parity(rng):
     x = rng.normal(size=(3, 4, 4, 6)).astype(np.float32)
     tbn = torch.nn.BatchNorm2d(6).eval()
