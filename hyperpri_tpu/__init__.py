@@ -21,6 +21,29 @@ segmentation-map rendering — re-designed TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: full-model TPU compiles run minutes
+# (remote Mosaic kernel compiles included); caching them across processes
+# cuts trainer/eval startup from ~7 min to seconds on warm starts. Opt out
+# with HYPERPRI_NO_COMPILE_CACHE=1. Set via env (works before OR after
+# `import jax` as long as no backend is initialized yet).
+if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE"):
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "hyperpri_tpu_xla"),
+    )
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+    try:  # if jax is already imported, mirror into the live config
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir", _os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from hyperpri_tpu.models import UNet, SpectralUNET, CubeNET, initialize_model
 
 __all__ = ["UNet", "SpectralUNET", "CubeNET", "initialize_model", "__version__"]

@@ -35,7 +35,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _wgrad_kernel(*refs, th: int, wo: int, n_chunks: int):
+def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int):
     x_ref, g_ref, o_ref = refs
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
@@ -44,7 +44,16 @@ def _wgrad_kernel(*refs, th: int, wo: int, n_chunks: int):
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    g2 = g_ref[0].reshape(th * wo, g_ref.shape[-1])
+    # g is read RAW (no HBM pad pass): its Element windows clamp at the H
+    # tail and the array may be narrower than wo, so zero the out-of-range
+    # rows/cols here (one VPU select per block — the HBM pad copies this
+    # replaces measured 1.3 ms each at full resolution). Mask before the
+    # flatten: Mosaic cannot shape-cast an i1 vector.
+    i = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th, wo, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, wo, 1), 1)
+    valid = jnp.logical_and(row < h - i * th, col < w)
+    g2 = jnp.where(valid, g_ref[0], 0).reshape(th * wo, g_ref.shape[-1])
     for k in range(n_chunks):
         for dh in range(3):
             for dw in range(3):
@@ -79,7 +88,7 @@ def conv3x3_wgrad(
     wo = _round_up(width, 8)
     wb = _round_up(wo + 2, 8)
     cp = _round_up(c, LANE)
-    op = _round_up(o, LANE if o > 8 else 8)
+    op = _round_up(o, 8)
     n_chunks = cp // LANE
 
     def vmem_bytes(th_):
@@ -94,13 +103,25 @@ def conv3x3_wgrad(
 
     n_h_blocks = pl.cdiv(h, th)
     bottom = n_h_blocks * th - h + 1
-    # x: 1-px SAME border + bottom/right alignment (zeros); g: zero-pad rows
-    # and columns so padded pixels contribute nothing to the accumulation.
+    # x: 1-px SAME border + bottom/right alignment (zeros). g is consumed
+    # raw when its Element windows stay inside the physical (8,128)-tiled
+    # extent: W overreads up to round_up(w,8) clamp safely and are masked
+    # in-kernel, but whole-row overreads past round_up(h,8) are a hard TPU
+    # fault (measured) — so ragged H (or a non-8-multiple channel count)
+    # falls back to an explicit zero-pad.
     xp = jnp.pad(x, ((0, 0), (1, bottom), (1, wb - width - 1), (0, cp - c)))
-    gp = jnp.pad(g, ((0, 0), (0, n_h_blocks * th - h), (0, wo - width), (0, op - o)))
+    if n_h_blocks * th == h and op == o:
+        gp = g
+    else:
+        gp = jnp.pad(
+            g,
+            ((0, 0), (0, n_h_blocks * th - h), (0, wo - width), (0, op - o)),
+        )
 
     grid = (n, n_h_blocks)
-    kernel = functools.partial(_wgrad_kernel, th=th, wo=wo, n_chunks=n_chunks)
+    kernel = functools.partial(
+        _wgrad_kernel, th=th, wo=wo, h=h, w=width, n_chunks=n_chunks
+    )
     flops = 2 * n * h * width * c * o * 9
 
     x_spec = pl.BlockSpec(
@@ -109,7 +130,9 @@ def conv3x3_wgrad(
         memory_space=pltpu.VMEM,
     )
     g_spec = pl.BlockSpec(
-        (1, th, wo, op), lambda bn, i: (bn, i, 0, 0), memory_space=pltpu.VMEM
+        (Element(1), Element(th), Element(wo), Element(op)),
+        lambda bn, i: (bn, i * th, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
         kernel,
