@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from hyperpri_tpu.models.parts import (
     Conv3x3,
+    ConvTransposeUp,
     DoubleConv,
     Down,
     OutConv,
@@ -63,18 +64,22 @@ class CubeNET(nn.Module):
         if self.fused_bn and self.use_pallas:
             x1 = PallasConv3x3(fd, dtype=self.dtype, name="first_conv")(x)
         else:
-            x1 = Conv3x3(fd, pallas_train=self.pallas_train, dtype=self.dtype, name="first_conv")(x)
+            x1, st = Conv3x3(fd, pallas_train=self.pallas_train, dtype=self.dtype, name="first_conv")(
+                x, collect_stats=train and not self.fused_bn
+            )
             if not self.fused_bn:
-                x1 = TorchBatchNorm(name="first_bn")(x1, use_running_average=not train)
+                x1 = TorchBatchNorm(name="first_bn")(x1, use_running_average=not train, precomputed=st)
             x1 = nn.relu(x1).astype(self.dtype)
         # inc2: single Conv+BN+ReLU to "match UNET's starter DoubleConv"
         # (reference models.py:176-180).
         if self.fused_bn and self.use_pallas:
             x1 = PallasConv3x3(fd, dtype=self.dtype, name="inc2_conv")(x1)
         else:
-            x1 = Conv3x3(fd, pallas_train=self.pallas_train, dtype=self.dtype, name="inc2_conv")(x1)
+            x1, st = Conv3x3(fd, pallas_train=self.pallas_train, dtype=self.dtype, name="inc2_conv")(
+                x1, collect_stats=train and not self.fused_bn
+            )
             if not self.fused_bn:
-                x1 = TorchBatchNorm(name="inc2_bn")(x1, use_running_average=not train)
+                x1 = TorchBatchNorm(name="inc2_bn")(x1, use_running_average=not train, precomputed=st)
             x1 = nn.relu(x1).astype(self.dtype)
 
         x2 = Down(c, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="down1")(x1, train=train)
@@ -103,9 +108,7 @@ class CubeNET(nn.Module):
                 y = upsample2x_align_corners(y)
                 conv4 = DoubleConv(64, 64, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="upconv4")
             else:
-                y = nn.ConvTranspose(
-                    64, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype, name="upsample4"
-                )(y)
+                y = ConvTransposeUp(64, dtype=self.dtype, name="upsample4")(y)
                 conv4 = DoubleConv(64, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="upconv4")
             y = pad_to_match(y, x1.shape[1], x1.shape[2])
             y = conv4(jnp.concatenate([x1, y], axis=-1), train=train)

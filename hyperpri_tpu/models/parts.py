@@ -50,7 +50,13 @@ class TorchBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, use_running_average: bool) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, *, use_running_average: bool, precomputed=None
+    ) -> jnp.ndarray:
+        """precomputed: optional (sum, sumsq) per-channel f32 pair over
+        N,H,W — batch statistics already reduced inside the producing Pallas
+        conv's epilogue (ops/pallas/conv_train.py), skipping the separate
+        full-resolution reduction pass here."""
         feats = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (feats,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (feats,), jnp.float32)
@@ -64,8 +70,14 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x32, axis=axes)
-            var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+            if precomputed is not None:
+                count = float(np.prod([x.shape[a] for a in axes]))
+                psum, psumsq = precomputed
+                mean = psum / count
+                var = psumsq / count - jnp.square(mean)
+            else:
+                mean = jnp.mean(x32, axis=axes)
+                var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
             if not self.is_initializing():
                 n = float(np.prod([x.shape[a] for a in axes]))
                 unbiased = var * (n / max(n - 1.0, 1.0))
@@ -148,7 +160,11 @@ class Conv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, collect_stats: bool = False):
+        """Returns (y, stats) where stats is a (sum, sumsq) f32 pair of
+        per-channel BatchNorm batch statistics when `collect_stats` and the
+        Pallas path is active (computed in the kernel epilogue), else None —
+        the caller passes it to TorchBatchNorm(precomputed=...)."""
         c = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
@@ -162,9 +178,20 @@ class Conv3x3(nn.Module):
         )
         x = x.astype(self.dtype)
         if use_pallas:
-            from hyperpri_tpu.ops.pallas.conv_train import conv3x3_bias_train
+            from hyperpri_tpu.ops.pallas.conv_train import (
+                conv3x3_bias_stats_train,
+                conv3x3_bias_train,
+            )
 
-            return conv3x3_bias_train(x, kernel.astype(self.dtype), bias.astype(jnp.float32))
+            if collect_stats:
+                y, s, ss = conv3x3_bias_stats_train(
+                    x, kernel.astype(self.dtype), bias.astype(jnp.float32)
+                )
+                return y, (s, ss)
+            return (
+                conv3x3_bias_train(x, kernel.astype(self.dtype), bias.astype(jnp.float32)),
+                None,
+            )
         y = jax.lax.conv_general_dilated(
             x,
             kernel.astype(self.dtype),
@@ -172,7 +199,64 @@ class Conv3x3(nn.Module):
             "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return y + bias.astype(self.dtype)
+        return y + bias.astype(self.dtype), None
+
+
+@jax.custom_vjp
+def _conv_transpose_2x2(x, k):
+    return jax.lax.conv_transpose(
+        x, k, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _ct_fwd(x, k):
+    return _conv_transpose_2x2(x, k), (x, k)
+
+
+def _ct_bwd(res, g):
+    x, k = res
+    # dX: a plain stride-2 conv of the cotangent with the flipped,
+    # channel-transposed kernel. XLA's own conv_transpose VJP instead emits
+    # a full-resolution `reverse` + dilated conv (2.8 ms at 608x968 in the
+    # CubeNET step trace); the strided conv form avoids the reverse pass.
+    kp = jnp.transpose(k[::-1, ::-1], (0, 1, 3, 2))
+    dx = jax.lax.conv_general_dilated(
+        g, kp, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    # dK: XLA's own kernel-gradient path (the hand-written strided-slice
+    # matmul form, though correct in tests, hard-crashed the TPU worker on
+    # this platform - see git history).
+    _, vjp_k = jax.vjp(
+        lambda kk: jax.lax.conv_transpose(
+            x, kk, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ),
+        k,
+    )
+    (dk,) = vjp_k(g)
+    return dx.astype(x.dtype), dk.astype(k.dtype)
+
+
+_conv_transpose_2x2.defvjp(_ct_fwd, _ct_bwd)
+
+
+class ConvTransposeUp(nn.Module):
+    """Drop-in for nn.ConvTranspose(features, (2,2), strides=(2,2), VALID)
+    with a custom backward (see _ct_bwd). Forward is XLA's conv_transpose
+    (it fuses well); parameter names/shapes identical to nn.ConvTranspose."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (2, 2, c, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        y = _conv_transpose_2x2(x, kernel.astype(self.dtype))
+        return (y + bias.astype(self.dtype)).astype(self.dtype)
 
 
 class ConvTranspose2x2(nn.Module):
@@ -273,15 +357,18 @@ class DoubleConv(nn.Module):
         if self.fused_bn and self.use_pallas:
             x = PallasConv3x3(mid, dtype=self.dtype, name="conv1")(x)
             return PallasConv3x3(self.out_channels, dtype=self.dtype, name="conv2")(x)
-        x = Conv3x3(mid, pallas_train=self.pallas_train, dtype=self.dtype, name="conv1")(x)
+        want_stats = train and not self.fused_bn
+        x, st = Conv3x3(mid, pallas_train=self.pallas_train, dtype=self.dtype, name="conv1")(
+            x, collect_stats=want_stats
+        )
         if not self.fused_bn:
-            x = TorchBatchNorm(name="bn1")(x, use_running_average=not train)
+            x = TorchBatchNorm(name="bn1")(x, use_running_average=not train, precomputed=st)
         x = nn.relu(x).astype(self.dtype)
-        x = Conv3x3(
+        x, st = Conv3x3(
             self.out_channels, pallas_train=self.pallas_train, dtype=self.dtype, name="conv2"
-        )(x)
+        )(x, collect_stats=want_stats)
         if not self.fused_bn:
-            x = TorchBatchNorm(name="bn2")(x, use_running_average=not train)
+            x = TorchBatchNorm(name="bn2")(x, use_running_average=not train, precomputed=st)
         return nn.relu(x).astype(self.dtype)
 
 
@@ -346,14 +433,7 @@ class Up(nn.Module):
                 name="conv",
             )
         else:
-            x1 = nn.ConvTranspose(
-                self.in_channels // 2,
-                (2, 2),
-                strides=(2, 2),
-                padding="VALID",
-                dtype=self.dtype,
-                name="up",
-            )(x1)
+            x1 = ConvTransposeUp(self.in_channels // 2, dtype=self.dtype, name="up")(x1)
             conv = DoubleConv(
                 self.out_channels,
                 fused_bn=self.fused_bn,

@@ -46,8 +46,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _conv_kernel(*refs, th: int, wo: int, relu: bool, n_chunks: int):
-    x_ref, w_ref, b_ref, o_ref, acc_ref = refs
+def _conv_kernel(*refs, th: int, wo: int, relu: bool, n_chunks: int,
+                 stats_hw=None):
+    if stats_hw is None:
+        x_ref, w_ref, b_ref, o_ref, acc_ref = refs
+        s_ref = None
+    else:
+        x_ref, w_ref, b_ref, o_ref, s_ref, acc_ref = refs
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     # channels processed in 128-lane chunks via static in-VMEM slices (the
@@ -70,9 +75,31 @@ def _conv_kernel(*refs, th: int, wo: int, relu: bool, n_chunks: int):
         y = jnp.maximum(y, 0.0)
     o_ref[...] = y.reshape(1, th, wo, to).astype(o_ref.dtype)
 
+    if s_ref is not None:
+        # BatchNorm batch statistics ride along while the f32 accumulator is
+        # still in VMEM: per-channel sum and sum-of-squares of the (pre-relu)
+        # output, excluding alignment-padding rows/cols. Saves the separate
+        # full-resolution reduction pass XLA would otherwise run (measured
+        # ~1.3 ms per 608x968x64 conv).
+        h, w = stats_hw
+        i = pl.program_id(1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (th, wo, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, wo, 1), 1)
+        valid = jnp.logical_and(row < h - i * th, col < w)
+        ym = jnp.where(valid, y.reshape(th, wo, to), 0.0)
+        first = jnp.logical_and(pl.program_id(0) == 0, i == 0)
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+
+        s_ref[0:1, :] += jnp.sum(ym, axis=(0, 1), keepdims=False).reshape(1, to)
+        s_ref[1:2, :] += jnp.sum(ym * ym, axis=(0, 1), keepdims=False).reshape(1, to)
+
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "th", "to", "out_dtype", "interpret")
+    jax.jit,
+    static_argnames=("relu", "th", "to", "out_dtype", "with_stats", "interpret"),
 )
 def conv3x3_bias_act(
     x: jnp.ndarray,
@@ -83,9 +110,14 @@ def conv3x3_bias_act(
     th: int = 16,
     to: Optional[int] = None,
     out_dtype=None,
+    with_stats: bool = False,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """y = act(conv3x3_same(x, w) + b) with (N, H, W, C) x, (3, 3, C, O) w."""
+):
+    """y = act(conv3x3_same(x, w) + b) with (N, H, W, C) x, (3, 3, C, O) w.
+
+    with_stats (requires relu=False): additionally returns a f32 (2, O)
+    array [per-channel sum; per-channel sum of squares] of y over N,H,W —
+    the BatchNorm batch statistics, accumulated in the kernel epilogue."""
     n, h, width, c = x.shape
     kh, kw, wc, o = w.shape
     assert (kh, kw) == (3, 3) and wc == c, (w.shape, x.shape)
@@ -124,7 +156,16 @@ def conv3x3_bias_act(
     bp = jnp.broadcast_to(jnp.pad(b, (0, op - o)), (8, op))
 
     grid = (n, n_h_blocks, op // to)
-    kernel = functools.partial(_conv_kernel, th=th, wo=wo, relu=relu, n_chunks=n_chunks)
+    if with_stats:
+        assert not relu, "stats are the BatchNorm input: pre-activation only"
+    kernel = functools.partial(
+        _conv_kernel,
+        th=th,
+        wo=wo,
+        relu=relu,
+        n_chunks=n_chunks,
+        stats_hw=(h, width) if with_stats else None,
+    )
     flops = 2 * n * h * width * c * o * 9
 
     x_spec = pl.BlockSpec(
@@ -132,7 +173,17 @@ def conv3x3_bias_act(
         lambda bn, i, j: (bn, i * th, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    out = pl.pallas_call(
+    out_specs = pl.BlockSpec(
+        (1, th, wo, to), lambda bn, i, j: (bn, i, 0, j), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n, n_h_blocks * th, wo, op), out_dtype)
+    if with_stats:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((8, to), lambda bn, i, j: (0, j), memory_space=pltpu.VMEM),
+        )
+        out_shape = (out_shape, jax.ShapeDtypeStruct((8, op), jnp.float32))
+    result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -140,14 +191,15 @@ def conv3x3_bias_act(
             pl.BlockSpec((3, 3, cp, to), lambda bn, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, to), lambda bn, i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, th, wo, to), lambda bn, i, j: (bn, i, 0, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, n_h_blocks * th, wo, op), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((th * wo, to), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * x.dtype.itemsize * 2, transcendentals=0
         ),
         interpret=interpret,
     )(xp, wp, bp)
-    return out[:, :h, :width, :o]
+    if with_stats:
+        out, stats = result
+        return out[:, :h, :width, :o], stats[:2, :o]
+    return result[:, :h, :width, :o]

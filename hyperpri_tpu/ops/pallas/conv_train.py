@@ -61,3 +61,47 @@ def _bwd(interpret, res, g):
 
 
 conv3x3_bias_train.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_bias_stats_train(x, w, b, interpret=False):
+    """Like conv3x3_bias_train but also returns the BatchNorm batch
+    statistics of y, computed in the kernel epilogue while the f32
+    accumulator is in VMEM: (y, sum_c, sumsq_c) with the (O,) f32 per-channel
+    sum and sum-of-squares over N,H,W.
+
+    The VJP folds the statistics' cotangents into an effective output
+    cotangent before the shared dX/dW kernels:
+        dL/dy_total = g_y + g_sum[c] + 2 * y * g_sumsq[c]
+    (y is a residual; XLA dedupes it with BatchNorm's own saved activation).
+    """
+    y, stats = conv3x3_bias_act(
+        x, w, b, relu=False, out_dtype=x.dtype, with_stats=True, interpret=interpret
+    )
+    return y, stats[0], stats[1]
+
+
+def _stats_fwd(x, w, b, interpret):
+    y, s, ss = conv3x3_bias_stats_train(x, w, b, interpret)
+    return (y, s, ss), (x, w, y)
+
+
+def _stats_bwd(interpret, res, cotangents):
+    x, w, y = res
+    gy, gsum, gsumsq = cotangents
+    g_eff = (
+        gy.astype(jnp.float32)
+        + gsum[None, None, None, :]
+        + 2.0 * y.astype(jnp.float32) * gsumsq[None, None, None, :]
+    ).astype(x.dtype)
+    wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
+    dx = conv3x3_bias_act(
+        g_eff, wt, zero_bias, relu=False, out_dtype=x.dtype, interpret=interpret
+    )
+    dw = conv3x3_wgrad(x, g_eff, interpret=interpret).astype(w.dtype)
+    db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dw, db
+
+
+conv3x3_bias_stats_train.defvjp(_stats_fwd, _stats_bwd)

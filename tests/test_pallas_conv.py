@@ -102,3 +102,50 @@ def test_conv3x3_wgrad_kernel_direct(rng):
     out = conv3x3_wgrad(x, g, interpret=True)
     assert out.shape == (3, 3, c, o) and out.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_conv3x3_with_stats(rng):
+    x = jnp.asarray(rng.normal(size=(2, 10, 12, 8)).astype(np.float32))
+    wk = jnp.asarray((rng.normal(size=(3, 3, 8, 16)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    y, stats = conv3x3_bias_act(x, wk, b, relu=False, with_stats=True, th=4, interpret=True)
+    ref = xla_conv(x, wk, b, relu=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(stats[0]), np.asarray(jnp.sum(ref, axis=(0, 1, 2))), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats[1]), np.asarray(jnp.sum(ref * ref, axis=(0, 1, 2))), rtol=1e-5
+    )
+
+
+def test_conv3x3_stats_train_grads(rng):
+    """Gradients through (y, sum, sumsq) match autodiff of the XLA ops —
+    including the cotangent folding g_eff = gy + gsum + 2*y*gsumsq."""
+    from hyperpri_tpu.ops.pallas.conv_train import conv3x3_bias_stats_train
+
+    x = jnp.asarray(rng.normal(size=(1, 9, 11, 8)).astype(np.float32))
+    wk = jnp.asarray((rng.normal(size=(3, 3, 8, 8)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+
+    def loss_pallas(x, wk, b):
+        y, s, ss = conv3x3_bias_stats_train(x, wk, b, True)
+        mean = s / y[..., 0].size
+        var = ss / y[..., 0].size - mean**2
+        yn = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        return jnp.sum(yn * jnp.cos(yn))
+
+    def loss_xla(x, wk, b):
+        y = xla_conv(x, wk, b, relu=False)
+        mean = jnp.mean(y, axis=(0, 1, 2))
+        var = jnp.mean(y * y, axis=(0, 1, 2)) - mean**2
+        yn = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        return jnp.sum(yn * jnp.cos(yn))
+
+    ref_l, ref_g = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(x, wk, b)
+    out_l, out_g = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2))(x, wk, b)
+    np.testing.assert_allclose(float(out_l), float(ref_l), rtol=1e-5)
+    for got, want, nm in zip(out_g, ref_g, ["dx", "dw", "db"]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3, err_msg=nm
+        )

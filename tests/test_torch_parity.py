@@ -228,3 +228,27 @@ def test_full_state_dict_import_unet():
     y = model.apply({"params": new_params, "batch_stats": new_stats},
                     jnp.zeros((1, 16, 16, 3)), train=False)
     assert y.shape == (1, 16, 16, 1)
+
+
+def test_conv_transpose_up_custom_vjp(rng):
+    """ConvTransposeUp (custom backward) matches nn.ConvTranspose in both
+    the forward and all gradients."""
+    from hyperpri_tpu.models.parts import ConvTransposeUp
+
+    x = jnp.asarray(rng.normal(size=(2, 6, 5, 8)).astype(np.float32))
+    ref_mod = nn.ConvTranspose(4, (2, 2), strides=(2, 2), padding="VALID")
+    params = ref_mod.init(jax.random.key(0), x)["params"]
+
+    ours_mod = ConvTransposeUp(4)
+
+    def loss(mod):
+        def f(p, x):
+            y = mod.apply({"params": p}, x)
+            return jnp.sum(y * jnp.cos(y))
+        return f
+
+    ref_l, ref_g = jax.value_and_grad(loss(ref_mod), argnums=(0, 1))(params, x)
+    out_l, out_g = jax.value_and_grad(loss(ours_mod), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(float(out_l), float(ref_l), rtol=1e-6)
+    for got, want in zip(jax.tree.leaves(out_g), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
