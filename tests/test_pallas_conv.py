@@ -26,6 +26,8 @@ def xla_conv(x, w, b, relu=True):
         (1, 9, 11, 16, 8, 4),   # odd everything
         (1, 7, 5, 4, 4, 8),     # th > h
         (1, 8, 8, 8, 136, 8),   # ragged O tail (to=128)
+        (1, 12, 10, 64, 64, 4),  # tap-packed mode (C==64)
+        (2, 16, 11, 64, 8, 8),   # tap-packed, odd W + small O
     ],
 )
 def test_conv3x3_matches_xla(rng, n, h, w, c, o, th):
@@ -56,6 +58,7 @@ def test_conv3x3_no_relu(rng):
         (2, 16, 24, 8, 16),
         (1, 9, 11, 16, 8),    # odd spatial
         (1, 10, 12, 136, 8),  # >128 input channels (2 lane chunks)
+        (1, 12, 10, 64, 64),  # tap-packed mode (C==64)
     ],
 )
 def test_conv3x3_train_grads_match_xla(rng, n, h, w, c, o):
