@@ -156,6 +156,7 @@ class Conv3x3(nn.Module):
     features: int
     pallas_train: bool = False
     min_pixels: int = 140_000  # H*W threshold: Pallas pays off above this
+    min_channels: int = 32  # tiny-C convs (UNet RGB stem) waste the 128-lane K
     max_channels: int = 256  # deep-channel tiles are already MXU-efficient in XLA
     dtype: Any = jnp.float32
 
@@ -174,6 +175,7 @@ class Conv3x3(nn.Module):
             self.pallas_train
             and jax.default_backend() == "tpu"
             and x.shape[1] * x.shape[2] >= self.min_pixels
+            and self.min_channels <= c
             and max(c, self.features) <= self.max_channels
         )
         x = x.astype(self.dtype)
