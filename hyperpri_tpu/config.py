@@ -89,7 +89,11 @@ class ExperimentConfig:
     # TPU execution -------------------------------------------------------
     precision: str = "fp32"  # 'fp32' | 'bf16'
     remat: bool = False
-    pallas_train: bool = False  # trainable Pallas convs for full-res layers
+    # Trainable Pallas convs for the full-resolution layers: -26% CubeNET /
+    # -14% UNET train-step time on one chip (BENCHMARKS.md round 2). Active
+    # only on a TPU backend at qualifying shapes; the Trainer forces it off
+    # under SPMD meshes (custom calls do not GSPMD-partition).
+    pallas_train: bool = True
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {'data': 2, 'spatial': 4}
     zero_shard_opt: bool = False  # ZeRO-equivalent sharded optimizer state
     offload_opt_state: bool = False  # ZeRO-3-offload equivalent: Adam moments in host memory

@@ -229,6 +229,13 @@ class Trainer:
 
     def __init__(self, cfg: ExperimentConfig, model=None, mesh=None, use_spatial: bool = True):
         self.cfg = cfg
+        # The trainable Pallas conv path (cfg.pallas_train, -26% step time on
+        # one chip) is a custom call GSPMD cannot partition: under a mesh it
+        # would force activation replication, so SPMD runs force it off and
+        # rely on XLA's partitioned convs instead.
+        spmd = mesh is not None or bool(cfg.mesh_shape)
+        if spmd and cfg.pallas_train:
+            cfg.pallas_train = False
         self.model = model if model is not None else cfg.get_network()
         # SPMD engages only when asked for (cfg.mesh_shape / explicit mesh);
         # single-device jit otherwise. Host offload needs a mesh to express
