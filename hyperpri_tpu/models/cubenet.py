@@ -46,6 +46,7 @@ class CubeNET(nn.Module):
     fused_bn: bool = False  # serving path: consume ops/fold_bn.py trees
     use_pallas: bool = False  # serving path: fused Pallas conv kernels
     pallas_train: bool = False  # trainable Pallas convs at full-res shapes
+    spatial_mesh: Any = None  # H-sharded SPMD: explicit halo-exchange convs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -64,7 +65,7 @@ class CubeNET(nn.Module):
         if self.fused_bn and self.use_pallas:
             x1 = PallasConv3x3(fd, dtype=self.dtype, name="first_conv")(x)
         else:
-            x1, st = Conv3x3(fd, pallas_train=self.pallas_train, dtype=self.dtype, name="first_conv")(
+            x1, st = Conv3x3(fd, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="first_conv")(
                 x, collect_stats=train and not self.fused_bn
             )
             if not self.fused_bn:
@@ -75,30 +76,30 @@ class CubeNET(nn.Module):
         if self.fused_bn and self.use_pallas:
             x1 = PallasConv3x3(fd, dtype=self.dtype, name="inc2_conv")(x1)
         else:
-            x1, st = Conv3x3(fd, pallas_train=self.pallas_train, dtype=self.dtype, name="inc2_conv")(
+            x1, st = Conv3x3(fd, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="inc2_conv")(
                 x1, collect_stats=train and not self.fused_bn
             )
             if not self.fused_bn:
                 x1 = TorchBatchNorm(name="inc2_bn")(x1, use_running_average=not train, precomputed=st)
             x1 = nn.relu(x1).astype(self.dtype)
 
-        x2 = Down(c, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="down1")(x1, train=train)
-        x3 = Down(c * 2, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="down2")(x2, train=train)
-        x4 = Down(c * 4, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="down3")(x3, train=train)
-        x5 = Down(c * 8 // factor, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="down4")(x4, train=train)
+        x2 = Down(c, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="down1")(x1, train=train)
+        x3 = Down(c * 2, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="down2")(x2, train=train)
+        x4 = Down(c * 4, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="down3")(x3, train=train)
+        x5 = Down(c * 8 // factor, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="down4")(x4, train=train)
 
-        y = Up(c * 8, c * 4, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="up1")(
+        y = Up(c * 8, c * 4, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="up1")(
             x5, x4, train=train
         )
-        y = Up(c * 4, c * 2, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="up2")(
+        y = Up(c * 4, c * 2, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="up2")(
             y, x3, train=train
         )
-        y = Up(c * 2, c, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="up3")(
+        y = Up(c * 2, c, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="up3")(
             y, x2, train=train
         )
 
         if fd == 64:
-            y = Up(c, 64 * factor, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="up4")(
+            y = Up(c, 64 * factor, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="up4")(
                 y, x1, train=train
             )
         else:
@@ -106,10 +107,10 @@ class CubeNET(nn.Module):
             # 229-240): upsample, center-pad, concat [x1, y], DoubleConv -> 64.
             if self.bilinear:
                 y = upsample2x_align_corners(y)
-                conv4 = DoubleConv(64, 64, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="upconv4")
+                conv4 = DoubleConv(64, 64, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="upconv4")
             else:
                 y = ConvTransposeUp(64, dtype=self.dtype, name="upsample4")(y)
-                conv4 = DoubleConv(64, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="upconv4")
+                conv4 = DoubleConv(64, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="upconv4")
             y = pad_to_match(y, x1.shape[1], x1.shape[2])
             y = conv4(jnp.concatenate([x1, y], axis=-1), train=train)
 

@@ -155,6 +155,7 @@ class Conv3x3(nn.Module):
 
     features: int
     pallas_train: bool = False
+    spatial_mesh: Any = None  # H-sharded SPMD: explicit halo-exchange conv
     min_pixels: int = 140_000  # H*W threshold: Pallas pays off above this
     min_channels: int = 32  # tiny-C convs (UNet RGB stem) waste the 128-lane K
     max_channels: int = 256  # deep-channel tiles are already MXU-efficient in XLA
@@ -171,14 +172,26 @@ class Conv3x3(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
-        use_pallas = (
-            self.pallas_train
-            and jax.default_backend() == "tpu"
-            and x.shape[1] * x.shape[2] >= self.min_pixels
+        shape_ok = (
+            x.shape[1] * x.shape[2] >= self.min_pixels
             and self.min_channels <= c
             and max(c, self.features) <= self.max_channels
         )
+        use_pallas = self.pallas_train and jax.default_backend() == "tpu" and shape_ok
         x = x.astype(self.dtype)
+        if self.spatial_mesh is not None and shape_ok and (
+            x.shape[1] % self.spatial_mesh.shape["spatial"] == 0
+        ):
+            # H sharded over 'spatial': explicit shard_map + ppermute halo
+            # exchange (SURVEY 5.7); runs the Pallas kernel per-shard on TPU.
+            from hyperpri_tpu.parallel.spatial_conv import conv3x3_spatial
+
+            return (
+                conv3x3_spatial(
+                    x, kernel.astype(self.dtype), bias, self.spatial_mesh
+                ),
+                None,
+            )
         if use_pallas:
             from hyperpri_tpu.ops.pallas.conv_train import (
                 conv3x3_bias_stats_train,
@@ -351,6 +364,7 @@ class DoubleConv(nn.Module):
     fused_bn: bool = False  # inference path: BN folded into conv (ops/fold_bn.py)
     use_pallas: bool = False
     pallas_train: bool = False  # trainable Pallas convs at full-res shapes
+    spatial_mesh: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -360,14 +374,22 @@ class DoubleConv(nn.Module):
             x = PallasConv3x3(mid, dtype=self.dtype, name="conv1")(x)
             return PallasConv3x3(self.out_channels, dtype=self.dtype, name="conv2")(x)
         want_stats = train and not self.fused_bn
-        x, st = Conv3x3(mid, pallas_train=self.pallas_train, dtype=self.dtype, name="conv1")(
-            x, collect_stats=want_stats
-        )
+        x, st = Conv3x3(
+            mid,
+            pallas_train=self.pallas_train,
+            spatial_mesh=self.spatial_mesh,
+            dtype=self.dtype,
+            name="conv1",
+        )(x, collect_stats=want_stats)
         if not self.fused_bn:
             x = TorchBatchNorm(name="bn1")(x, use_running_average=not train, precomputed=st)
         x = nn.relu(x).astype(self.dtype)
         x, st = Conv3x3(
-            self.out_channels, pallas_train=self.pallas_train, dtype=self.dtype, name="conv2"
+            self.out_channels,
+            pallas_train=self.pallas_train,
+            spatial_mesh=self.spatial_mesh,
+            dtype=self.dtype,
+            name="conv2",
         )(x, collect_stats=want_stats)
         if not self.fused_bn:
             x = TorchBatchNorm(name="bn2")(x, use_running_average=not train, precomputed=st)
@@ -385,6 +407,7 @@ class Down(nn.Module):
     fused_bn: bool = False
     use_pallas: bool = False
     pallas_train: bool = False
+    spatial_mesh: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -395,6 +418,7 @@ class Down(nn.Module):
             fused_bn=self.fused_bn,
             use_pallas=self.use_pallas,
             pallas_train=self.pallas_train,
+            spatial_mesh=self.spatial_mesh,
             dtype=self.dtype,
             name="conv",
         )(x, train=train)
@@ -416,6 +440,7 @@ class Up(nn.Module):
     fused_bn: bool = False
     use_pallas: bool = False
     pallas_train: bool = False
+    spatial_mesh: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -431,6 +456,7 @@ class Up(nn.Module):
                 fused_bn=self.fused_bn,
                 use_pallas=self.use_pallas,
                 pallas_train=self.pallas_train,
+                spatial_mesh=self.spatial_mesh,
                 dtype=self.dtype,
                 name="conv",
             )
@@ -441,6 +467,7 @@ class Up(nn.Module):
                 fused_bn=self.fused_bn,
                 use_pallas=self.use_pallas,
                 pallas_train=self.pallas_train,
+                spatial_mesh=self.spatial_mesh,
                 dtype=self.dtype,
                 name="conv",
             )

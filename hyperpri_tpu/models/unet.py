@@ -27,6 +27,7 @@ class UNet(nn.Module):
     fused_bn: bool = False  # serving path: consume ops/fold_bn.py trees
     use_pallas: bool = False  # serving path: fused Pallas conv kernels
     pallas_train: bool = False  # trainable Pallas convs at full-res shapes
+    spatial_mesh: Any = None  # H-sharded SPMD: explicit halo-exchange convs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -39,22 +40,22 @@ class UNet(nn.Module):
         c = 64  # starter_dim
 
         x = x.astype(self.dtype)
-        x1 = DoubleConv(c, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="inc")(x, train=train)
-        x2 = Down(c * 2, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="down1")(x1, train=train)
-        x3 = Down(c * 4, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="down2")(x2, train=train)
-        x4 = Down(c * 8, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="down3")(x3, train=train)
-        x5 = Down(c * 16 // factor, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="down4")(x4, train=train)
+        x1 = DoubleConv(c, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="inc")(x, train=train)
+        x2 = Down(c * 2, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="down1")(x1, train=train)
+        x3 = Down(c * 4, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="down2")(x2, train=train)
+        x4 = Down(c * 8, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="down3")(x3, train=train)
+        x5 = Down(c * 16 // factor, fused_bn=self.fused_bn, use_pallas=self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="down4")(x4, train=train)
 
-        y = Up(c * 16, c * 8, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="up1")(
+        y = Up(c * 16, c * 8, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="up1")(
             x5, x4, train=train
         )
-        y = Up(c * 8, c * 4, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="up2")(
+        y = Up(c * 8, c * 4, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="up2")(
             y, x3, train=train
         )
-        y = Up(c * 4, c * 2, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="up3")(
+        y = Up(c * 4, c * 2, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="up3")(
             y, x2, train=train
         )
-        y = Up(c * 2, c * factor, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, dtype=self.dtype, name="up4")(
+        y = Up(c * 2, c * factor, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="up4")(
             y, x1, train=train
         )
         logits = OutConv(self.n_classes, dtype=self.dtype, name="outc")(y)

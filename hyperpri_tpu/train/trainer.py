@@ -247,6 +247,17 @@ class Trainer:
                   if cfg.offload_opt_state else None)
         )
         self.use_spatial = use_spatial
+        # Spatially-sharded runs: route qualifying convs through the explicit
+        # shard_map + ppermute halo exchange (parallel/spatial_conv.py,
+        # SURVEY §5.7) instead of leaving the stencil to GSPMD.
+        if (
+            self.mesh is not None
+            and use_spatial
+            and self.mesh.shape.get("spatial", 1) > 1
+            and hasattr(self.model, "spatial_mesh")
+            and self.model.spatial_mesh is None
+        ):
+            self.model = self.model.clone(spatial_mesh=self.mesh)
         self._train_step = None
         self._eval_step = None
         self._predict_step = None
