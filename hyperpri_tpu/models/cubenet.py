@@ -66,7 +66,7 @@ class CubeNET(nn.Module):
             x1 = PallasConv3x3(fd, dtype=self.dtype, name="first_conv")(x)
         else:
             x1, st = Conv3x3(fd, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="first_conv")(
-                x, collect_stats=train and not self.fused_bn
+                x, collect_stats=train and not self.fused_bn, train=train
             )
             if not self.fused_bn:
                 x1 = TorchBatchNorm(name="first_bn")(x1, use_running_average=not train, precomputed=st)
@@ -77,7 +77,7 @@ class CubeNET(nn.Module):
             x1 = PallasConv3x3(fd, dtype=self.dtype, name="inc2_conv")(x1)
         else:
             x1, st = Conv3x3(fd, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="inc2_conv")(
-                x1, collect_stats=train and not self.fused_bn
+                x1, collect_stats=train and not self.fused_bn, train=train
             )
             if not self.fused_bn:
                 x1 = TorchBatchNorm(name="inc2_bn")(x1, use_running_average=not train, precomputed=st)

@@ -162,11 +162,16 @@ class Conv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, collect_stats: bool = False):
+    def __call__(self, x: jnp.ndarray, collect_stats: bool = False, train: bool = False):
         """Returns (y, stats) where stats is a (sum, sumsq) f32 pair of
         per-channel BatchNorm batch statistics when `collect_stats` and the
         Pallas path is active (computed in the kernel epilogue), else None —
-        the caller passes it to TorchBatchNorm(precomputed=...)."""
+        the caller passes it to TorchBatchNorm(precomputed=...).
+
+        The Pallas route is TRAINING-only: at batch-1 inference the same
+        kernels measure 36.5 vs XLA's 59.9 cubes/s (XLA's pure-forward
+        conv+BN+ReLU fusion is its best case; its pathology is specific to
+        the training graph) — eval forwards stay on XLA."""
         c = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
@@ -177,7 +182,9 @@ class Conv3x3(nn.Module):
             and self.min_channels <= c
             and max(c, self.features) <= self.max_channels
         )
-        use_pallas = self.pallas_train and jax.default_backend() == "tpu" and shape_ok
+        use_pallas = (
+            self.pallas_train and train and jax.default_backend() == "tpu" and shape_ok
+        )
         x = x.astype(self.dtype)
         if self.spatial_mesh is not None and shape_ok and (
             x.shape[1] % self.spatial_mesh.shape["spatial"] == 0
@@ -380,7 +387,7 @@ class DoubleConv(nn.Module):
             spatial_mesh=self.spatial_mesh,
             dtype=self.dtype,
             name="conv1",
-        )(x, collect_stats=want_stats)
+        )(x, collect_stats=want_stats, train=train)
         if not self.fused_bn:
             x = TorchBatchNorm(name="bn1")(x, use_running_average=not train, precomputed=st)
         x = nn.relu(x).astype(self.dtype)
@@ -390,7 +397,7 @@ class DoubleConv(nn.Module):
             spatial_mesh=self.spatial_mesh,
             dtype=self.dtype,
             name="conv2",
-        )(x, collect_stats=want_stats)
+        )(x, collect_stats=want_stats, train=train)
         if not self.fused_bn:
             x = TorchBatchNorm(name="bn2")(x, use_running_average=not train, precomputed=st)
         return nn.relu(x).astype(self.dtype)
