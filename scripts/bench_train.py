@@ -96,6 +96,17 @@ def main():
         (state, loss), _ = jax.lax.scan(body, (state, jnp.zeros(())), scales)
         return loss, state
 
+    # measured null-dispatch RTT (same protocol as bench.py) - not the
+    # hardcoded tunnel constant VERDICT r1 flagged
+    null = jax.jit(lambda v: v + 1.0)
+    float(null(jnp.zeros(())))
+    rtts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(null(jnp.zeros(())))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
     t0 = time.time()
     loss, state = run(state, base_image, base_mask, jax.random.key(0))
     float(loss)
@@ -106,7 +117,7 @@ def main():
         loss, state = run(state, base_image, base_mask, jax.random.key(i))
         float(loss)
         ts.append(time.perf_counter() - t0)
-    per_step = (min(ts) - 0.029) / K
+    per_step = (min(ts) - rtt) / K
     result = {
         "metric": f"{args.model} train step ({args.batch}x{h}x{w}x{channels}, {args.precision})",
         "value": round(per_step * 1e3, 2),
