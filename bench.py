@@ -64,12 +64,32 @@ def measure_tpu(k_inner: int = 10, n_runs: int = 3) -> float:
     rtt = measure_rtt()
     print(f"measured null-dispatch RTT: {rtt*1e3:.1f} ms", file=sys.stderr)
 
-    model = CubeNET(hsi_depth=D, n_classes=1, first_depth=FD, bilinear=False, dtype=jnp.bfloat16)
+    # Serving graph selection (HYPERPRI_BENCH_MODE):
+    #   xla   (default): the plain pure-XLA eval graph — fastest measured
+    #          (60.0 cubes/s; XLA's pure-forward conv+BN+ReLU fusion).
+    #   fold_xla: BatchNorm folded into conv weights (ops/fold_bn.py) — a
+    #          numerically identical serving graph; measures 58.9 (folding
+    #          alone buys nothing: XLA already fuses eval BN).
+    #   fold  : folded BN + tap-packed Pallas kernels at the per-op winning
+    #          shapes — measures 38.7: the kernels win in isolation (7.2 vs
+    #          10.9 ms on the first conv) but lose in-graph (composition
+    #          costs under investigation; see BENCHMARKS.md).
+    #   pallas: unfolded BN, packed Pallas convs at the winning shapes.
+    mode = os.environ.get("HYPERPRI_BENCH_MODE", "xla")
+    model = CubeNET(hsi_depth=D, n_classes=1, first_depth=FD, bilinear=False,
+                    pallas_train=(mode == "pallas"), dtype=jnp.bfloat16)
     rng = jax.random.key(0)
     # Params are spatial-size independent: init jitted at 64x64, run at full
     # res. Input cubes are generated on device — no half-GB host uploads.
     small = jnp.zeros((1, 64, 64, D), jnp.bfloat16)
     variables = jax.jit(lambda r, s: model.init(r, s, train=False))(rng, small)
+    if mode.startswith("fold"):
+        from hyperpri_tpu.ops.fold_bn import fold_batch_norm
+
+        folded = fold_batch_norm(variables["params"], variables["batch_stats"])
+        model = CubeNET(hsi_depth=D, n_classes=1, first_depth=FD, bilinear=False,
+                        fused_bn=True, use_pallas=(mode == "fold"), dtype=jnp.bfloat16)
+        variables = {"params": folded}
 
     @jax.jit
     def forward_k(variables, key):

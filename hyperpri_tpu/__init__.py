@@ -44,6 +44,41 @@ if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE"):
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
+
+def _sweep_compile_cache(limit_bytes: int = 4 << 30) -> None:
+    """LRU-evict the persistent compile cache down to `limit_bytes`.
+
+    The cache grows without bound otherwise (one entry per distinct
+    executable; full-model entries run tens of MB). Eviction is by mtime —
+    jax rewrites entries on cache hits, so mtime approximates recency of
+    use. Best-effort: any error leaves the cache as-is."""
+    cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache_dir or not _os.path.isdir(cache_dir):
+        return
+    try:
+        entries = []
+        total = 0
+        with _os.scandir(cache_dir) as it:
+            for e in it:
+                if e.is_file():
+                    st = e.stat()
+                    entries.append((st.st_mtime, st.st_size, e.path))
+                    total += st.st_size
+        if total <= limit_bytes:
+            return
+        entries.sort()  # oldest first
+        for _, size, path in entries:
+            _os.unlink(path)
+            total -= size
+            if total <= limit_bytes:
+                break
+    except OSError:  # pragma: no cover - concurrent writers, perms
+        pass
+
+
+if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE"):
+    _sweep_compile_cache()
+
 from hyperpri_tpu.models import UNet, SpectralUNET, CubeNET, initialize_model
 
 __all__ = ["UNet", "SpectralUNET", "CubeNET", "initialize_model", "__version__"]

@@ -168,10 +168,11 @@ class Conv3x3(nn.Module):
         Pallas path is active (computed in the kernel epilogue), else None —
         the caller passes it to TorchBatchNorm(precomputed=...).
 
-        The Pallas route is TRAINING-only: at batch-1 inference the same
-        kernels measure 36.5 vs XLA's 59.9 cubes/s (XLA's pure-forward
-        conv+BN+ReLU fusion is its best case; its pathology is specific to
-        the training graph) — eval forwards stay on XLA."""
+        Routing (measured, scripts/bench_conv_kernels.py on v5e):
+          - train: all gated full-res shapes -> Pallas (XLA's training-graph
+            spatial blocking collapses there); O<=64 layers take the
+            tap-packed kernel, wider ones the halo kernel;
+          - eval: XLA (whole-model measurement; see use_packed_eval below)."""
         c = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
@@ -182,9 +183,13 @@ class Conv3x3(nn.Module):
             and self.min_channels <= c
             and max(c, self.features) <= self.max_channels
         )
-        use_pallas = (
-            self.pallas_train and train and jax.default_backend() == "tpu" and shape_ok
-        )
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = self.pallas_train and train and on_tpu and shape_ok
+        # Eval stays on XLA: the tap-packed kernel wins per-op at C>64/O<=64
+        # (first conv 7.2 vs 10.9 ms) but measured SLOWER composed into the
+        # batch-1 serving graph (38.7 vs 60.0 cubes/s whole-model) — XLA's
+        # pure-forward fusion is its best case. See BENCHMARKS.md.
+        use_packed_eval = False
         x = x.astype(self.dtype)
         if self.spatial_mesh is not None and shape_ok and (
             x.shape[1] % self.spatial_mesh.shape["spatial"] == 0
@@ -212,6 +217,20 @@ class Conv3x3(nn.Module):
                 return y, (s, ss)
             return (
                 conv3x3_bias_train(x, kernel.astype(self.dtype), bias.astype(jnp.float32)),
+                None,
+            )
+        if use_packed_eval:
+            from hyperpri_tpu.ops.pallas.conv3x3_packed import conv3x3_packed
+
+            return (
+                conv3x3_packed(
+                    x,
+                    kernel.astype(self.dtype),
+                    bias.astype(jnp.float32),
+                    relu=False,
+                    out_dtype=self.dtype,
+                    lane_stride=64,
+                ),
                 None,
             )
         y = jax.lax.conv_general_dilated(
@@ -331,33 +350,58 @@ class ConvTranspose2x2(nn.Module):
 
 
 class PallasConv3x3(nn.Module):
-    """3x3 SAME conv + bias (+ReLU) through the fused Pallas kernel
-    (ops/pallas/conv3x3.py). Parameter layout identical to nn.Conv, so
+    """3x3 SAME conv + bias (+ReLU), serving path (BN already folded).
+
+    Routes each layer to the fastest measured implementation on v5e
+    (scripts/bench_conv_kernels.py): the tap-packed Pallas kernel
+    (ops/pallas/conv3x3_packed.py) for large maps with C > 64 and O <= 128
+    (where XLA's conv underuses the MXU lanes), XLA's fused conv+bias+relu
+    everywhere else (its pure-forward fusion is unbeatable at deep tiles
+    and 64-channel inputs). Parameter layout identical to nn.Conv, so
     checkpoints and fold_bn trees are interchangeable with the XLA path.
-    Falls back to interpret mode off-TPU (tests)."""
+    `force_pallas` pins the halo kernel (ops/pallas/conv3x3.py) for every
+    shape — the all-custom-kernel configuration kept for benchmarking."""
 
     features: int
     relu: bool = True
+    force_pallas: bool = False
+    min_pixels: int = 140_000
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from hyperpri_tpu.ops.pallas.conv3x3 import conv3x3_bias_act
-
         c = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
-        interpret = jax.default_backend() != "tpu"
-        return conv3x3_bias_act(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            bias.astype(jnp.float32),
-            relu=self.relu,
-            out_dtype=self.dtype,
-            interpret=interpret,
+        on_tpu = jax.default_backend() == "tpu"
+        x = x.astype(self.dtype)
+        if self.force_pallas:
+            from hyperpri_tpu.ops.pallas.conv3x3 import conv3x3_bias_act
+
+            return conv3x3_bias_act(
+                x, kernel.astype(self.dtype), bias.astype(jnp.float32),
+                relu=self.relu, out_dtype=self.dtype, interpret=not on_tpu,
+            )
+        packed_wins = (
+            on_tpu
+            and x.shape[1] * x.shape[2] >= self.min_pixels
+            and c > 64
+            and self.features <= 64
         )
+        if packed_wins:
+            from hyperpri_tpu.ops.pallas.conv3x3_packed import conv3x3_packed
+
+            return conv3x3_packed(
+                x, kernel.astype(self.dtype), bias.astype(jnp.float32),
+                relu=self.relu, out_dtype=self.dtype, lane_stride=64,
+            )
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(self.dtype)
+        return jnp.maximum(y, 0.0) if self.relu else y
 
 
 class DoubleConv(nn.Module):

@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: tap-packed 3x3 SAME conv for narrow output channels.
+
+Motivation (measured on v5e, scripts/probe_mxu.py): a bf16 dot with N=64
+output lanes runs at ~20 TF/s (half the MXU lanes idle and the per-pass
+pipe cost is paid per 128-lane group), while the same M rows with N=576
+packed columns reach ~134 TF/s. The models' full-resolution convs all have
+O=64 (CubeNET inc 238->64, inc2 64->64, final Up 128->64 / 64->64 — the
+FLOP majority of every forward), so the halo kernel's 9-shifted-dot
+formulation (ops/pallas/conv3x3.py) issues exactly the worst dot shape.
+
+This kernel restructures the arithmetic so each H-row tap needs ONE fat dot:
+
+    for dh in 0..2:                       # 3 dots instead of 9*ceil(C/128)
+        P = X[dh:dh+th, :twb, :] @ Wpack[dh]        # (th*twb, C) x (C, 384)
+        acc[i, j, :] += sum_dw P[i, j+dw, dw*128 : dw*128+128]
+
+where Wpack[dh][c, dw*128 + o] = w[dh, dw, c, o] (taps packed at a 128-lane
+stride; lanes o>=O are zero so the shifted adds contribute exact zeros to
+the padding lanes). The dw shifts move from matmul *inputs* (which forced a
+relayout copy of the whole block per tap) to the matmul *output* read
+(a sublane-offset read the VPU absorbs in the accumulate).
+
+Cost per (th, tw) tile: 3 dots of M=th*twb rows + 9 shifted f32 adds,
+vs 9*ceil(C/128) dots of M=th*tw rows + as many shifted input copies.
+
+Same numerical contract as the halo kernel: f32 accumulation, bias (+ReLU)
+epilogue, zero-padding for alignment -> exact outputs. Restrictions:
+O <= 128 (the packing stride); use conv3x3_bias_act for deeper outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jax._src.pallas.core import Element  # noqa: E402  (not yet re-exported)
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None):
+    if stats_hw is None:
+        x_ref, w_ref, b_ref, o_ref, p_ref, acc_ref = refs
+        s_ref = None
+    else:
+        x_ref, w_ref, b_ref, o_ref, s_ref, p_ref, acc_ref = refs
+    cp = x_ref.shape[-1]
+    for dh in range(3):
+        x2 = x_ref[0, dh : dh + th, 0:twb, :].reshape(th * twb, cp)
+        p_ref[...] = jax.lax.dot_general(
+            x2,
+            w_ref[dh],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(th, twb, 3 * ls)
+        # one read-modify-write of acc per dh: the three shifted tap reads
+        # fold into a single VPU expression
+        s = (
+            p_ref[0:th, 0:tw, 0:ls]
+            + p_ref[0:th, 1 : 1 + tw, ls : 2 * ls]
+            + p_ref[0:th, 2 : 2 + tw, 2 * ls : 3 * ls]
+        )
+        if dh == 0:
+            acc_ref[...] = s
+        else:
+            acc_ref[...] += s
+    y = acc_ref[...] + b_ref[0, :].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[...] = y[:, :, :op].reshape(1, th, tw, op).astype(o_ref.dtype)
+
+    if s_ref is not None:
+        # BatchNorm batch statistics while the f32 accumulator is in VMEM:
+        # per-channel sum / sum-of-squares of pre-relu y, excluding the
+        # alignment-padding rows/cols (same scheme as conv3x3.py).
+        h, w = stats_hw
+        i, j = pl.program_id(1), pl.program_id(2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 1)
+        valid = jnp.logical_and(row < h - i * th, col < w - j * tw)
+        ym = jnp.where(valid, y, 0.0)
+        first = jnp.logical_and(
+            pl.program_id(0) == 0, jnp.logical_and(i == 0, j == 0)
+        )
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+
+        s_ref[0:1, :] += jnp.sum(ym, axis=(0, 1)).reshape(1, ls)
+        s_ref[1:2, :] += jnp.sum(ym * ym, axis=(0, 1)).reshape(1, ls)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("relu", "th", "tw", "out_dtype", "lane_stride", "with_stats", "interpret"),
+)
+def conv3x3_packed(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    relu: bool = True,
+    th: int = 8,
+    tw: Optional[int] = None,
+    out_dtype=None,
+    lane_stride: Optional[int] = None,
+    with_stats: bool = False,
+    interpret: bool = False,
+):
+    """y = act(conv3x3_same(x, w) + b); (N,H,W,C) x, (3,3,C,O) w, O <= 128.
+
+    lane_stride: packing stride of the three dw taps in the fat dot's N dim
+    (>= O, multiple of 8). 64 halves the P scratch and the MXU N-passes for
+    O <= 64 but exercises sub-tile lane slices; default packs at the full
+    128-lane tile so every slice is tile-aligned."""
+    n, h, width, c = x.shape
+    kh, kw, wc, o = w.shape
+    assert (kh, kw) == (3, 3) and wc == c, (w.shape, x.shape)
+    assert o <= LANE, f"packed kernel requires O <= {LANE}, got {o}"
+    out_dtype = out_dtype or x.dtype
+
+    cp = _round_up(c, LANE)
+    op = _round_up(o, 8)
+    ls = lane_stride or LANE
+    assert ls % 8 == 0 and op <= ls <= LANE, (ls, op)
+    th = min(th, _round_up(h, 8))
+
+    # Auto-fit (th, tw) to the scoped-VMEM budget. twb = tw + 8: the 2-col
+    # halo rounded up to a whole sublane tile (windows overlap by 8).
+    def vmem_bytes(th_, tw_):
+        twb_ = tw_ + 8
+        esz = x.dtype.itemsize
+        x_b = 2 * (th_ + 2) * twb_ * cp * esz
+        w_b = 2 * 3 * cp * 3 * ls * w.dtype.itemsize
+        p_b = th_ * twb_ * 3 * ls * 4
+        a_b = th_ * tw_ * ls * 4
+        o_b = 2 * th_ * tw_ * op * jnp.dtype(out_dtype).itemsize
+        return x_b + w_b + p_b + a_b + o_b
+
+    if tw is None:
+        tw = _round_up(width, 8)
+        while tw > 64 and vmem_bytes(th, tw) > 11 * 1024 * 1024:
+            tw = _round_up((tw + 1) // 2, 8)
+    while th > 4 and vmem_bytes(th, tw) > 11 * 1024 * 1024:
+        th //= 2
+    twb = tw + 8
+
+    n_h = pl.cdiv(h, th)
+    n_w = pl.cdiv(width, tw)
+    # Pad: 1-px SAME border top/left; bottom/right so every Element window
+    # (H stride th size th+2; W stride tw size twb) stays in bounds.
+    bottom = n_h * th + 1 - h
+    right = (n_w - 1) * tw + twb - 1 - width
+    xp = jnp.pad(x, ((0, 0), (1, bottom), (1, right), (0, cp - c)))
+
+    # Wpack[dh][c, dw*ls + o] = w[dh, dw, c, o]; zero elsewhere.
+    wp = jnp.pad(w.astype(x.dtype), ((0, 0), (0, 0), (0, cp - c), (0, ls - o)))
+    wp = jnp.transpose(wp, (0, 2, 1, 3)).reshape(3, cp, 3 * ls)
+    bp = jnp.broadcast_to(jnp.pad(b, (0, ls - o)), (8, ls))
+
+    grid = (n, n_h, n_w)
+    if with_stats:
+        assert not relu, "stats are the BatchNorm input: pre-activation only"
+    kernel = functools.partial(
+        _kernel, th=th, tw=tw, twb=twb, relu=relu, op=op, ls=ls,
+        stats_hw=(h, width) if with_stats else None,
+    )
+    flops = 2 * n * h * width * c * o * 9
+
+    result = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (Element(1), Element(th + 2), Element(twb), Element(cp)),
+                lambda bn, i, j: (bn, i * th, j * tw, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((3, cp, 3 * ls), lambda bn, i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ls), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, th, tw, op), lambda bn, i, j: (bn, i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((8, ls), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM),
+        )
+        if with_stats
+        else pl.BlockSpec(
+            (1, th, tw, op), lambda bn, i, j: (bn, i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n_h * th, n_w * tw, op), out_dtype),
+            jax.ShapeDtypeStruct((8, ls), jnp.float32),
+        )
+        if with_stats
+        else jax.ShapeDtypeStruct((n, n_h * th, n_w * tw, op), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th, twb, 3 * ls), jnp.float32),
+            pltpu.VMEM((th, tw, ls), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * x.dtype.itemsize * 2, transcendentals=0
+        ),
+        interpret=interpret,
+    )(xp, wp, bp)
+    if with_stats:
+        out, stats = result
+        return out[:, :h, :width, :o], stats[:2, :o]
+    return result[:, :h, :width, :o]

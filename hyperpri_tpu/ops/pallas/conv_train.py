@@ -30,6 +30,31 @@ import jax.numpy as jnp
 
 from hyperpri_tpu.ops.pallas.conv3x3 import conv3x3_bias_act
 from hyperpri_tpu.ops.pallas.conv3x3_grad import conv3x3_wgrad
+from hyperpri_tpu.ops.pallas.conv3x3_packed import conv3x3_packed
+
+# Tap-packing stride for the packed kernel (see conv3x3_packed.py): 64
+# halves the P scratch/N-passes for the O<=64 layers; measured faster than
+# 128 on v5e and numerically validated on hardware.
+_PACKED_LS = 64
+
+
+def _conv_route(x, w, b, *, relu, with_stats=False, interpret=False):
+    """One 3x3 SAME conv, routed to the best measured kernel for its output
+    width (scripts/bench_conv_kernels.py on v5e): O <= 64 -> tap-packed
+    fat-N dots (conv3x3_packed, lane stride 64; 238->64 7.2 vs 9.2 ms halo,
+    128->64 3.9 vs 4.5); wider -> the halo kernel's Cout-tiled shifted dots
+    (conv3x3_bias_act; at O=128 mid-res shapes it beats packed 0.72 vs
+    0.80 ms)."""
+    o = w.shape[-1]
+    if o <= _PACKED_LS:
+        return conv3x3_packed(
+            x, w, b, relu=relu, out_dtype=x.dtype, lane_stride=_PACKED_LS,
+            with_stats=with_stats, interpret=interpret,
+        )
+    return conv3x3_bias_act(
+        x, w, b, relu=relu, out_dtype=x.dtype, with_stats=with_stats,
+        interpret=interpret,
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -38,11 +63,11 @@ def conv3x3_bias_train(x, w, b, interpret=False):
 
     x: (N, H, W, C); w: (3, 3, C, O); b: (O,) float32.
     """
-    return conv3x3_bias_act(x, w, b, relu=False, out_dtype=x.dtype, interpret=interpret)
+    return _conv_route(x, w, b, relu=False, interpret=interpret)
 
 
 def _fwd(x, w, b, interpret):
-    y = conv3x3_bias_act(x, w, b, relu=False, out_dtype=x.dtype, interpret=interpret)
+    y = _conv_route(x, w, b, relu=False, interpret=interpret)
     return y, (x, w)
 
 
@@ -52,9 +77,7 @@ def _bwd(interpret, res, g):
     # adjoint kernel: spatial flip + (C, O) transpose
     wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
-    dx = conv3x3_bias_act(
-        g, wt, zero_bias, relu=False, out_dtype=x.dtype, interpret=interpret
-    )
+    dx = _conv_route(g, wt, zero_bias, relu=False, interpret=interpret)
     dw = conv3x3_wgrad(x, g, interpret=interpret).astype(w.dtype)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
     return dx, dw, db
@@ -75,9 +98,7 @@ def conv3x3_bias_stats_train(x, w, b, interpret=False):
         dL/dy_total = g_y + g_sum[c] + 2 * y * g_sumsq[c]
     (y is a residual; XLA dedupes it with BatchNorm's own saved activation).
     """
-    y, stats = conv3x3_bias_act(
-        x, w, b, relu=False, out_dtype=x.dtype, with_stats=True, interpret=interpret
-    )
+    y, stats = _conv_route(x, w, b, relu=False, with_stats=True, interpret=interpret)
     return y, stats[0], stats[1]
 
 
@@ -96,9 +117,7 @@ def _stats_bwd(interpret, res, cotangents):
     ).astype(x.dtype)
     wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
-    dx = conv3x3_bias_act(
-        g_eff, wt, zero_bias, relu=False, out_dtype=x.dtype, interpret=interpret
-    )
+    dx = _conv_route(g_eff, wt, zero_bias, relu=False, interpret=interpret)
     dw = conv3x3_wgrad(x, g_eff, interpret=interpret).astype(w.dtype)
     db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 1, 2))
     return dx, dw, db
