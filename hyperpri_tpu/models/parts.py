@@ -156,7 +156,9 @@ class Conv3x3(nn.Module):
     features: int
     pallas_train: bool = False
     spatial_mesh: Any = None  # H-sharded SPMD: explicit halo-exchange conv
-    min_pixels: int = 140_000  # H*W threshold: Pallas pays off above this
+    min_pixels: int = 30_000  # H*W gate: covers the 152x242 stage (in-graph
+    # XLA runs those convs at 8.7 TF/s vs ~60 standalone — layout pathology;
+    # extending Pallas there measures 114.6 -> 112.9 ms/step on CubeNET)
     min_channels: int = 32  # tiny-C convs (UNet RGB stem) waste the 128-lane K
     max_channels: int = 256  # deep-channel tiles are already MXU-efficient in XLA
     dtype: Any = jnp.float32
@@ -264,16 +266,22 @@ def _ct_bwd(res, g):
     dx = jax.lax.conv_general_dilated(
         g, kp, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
-    # dK: XLA's own kernel-gradient path (the hand-written strided-slice
-    # matmul form, though correct in tests, hard-crashed the TPU worker on
-    # this platform - see git history).
-    _, vjp_k = jax.vjp(
-        lambda kk: jax.lax.conv_transpose(
-            x, kk, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        ),
-        k,
-    )
-    (dk,) = vjp_k(g)
+    # dK: reshape-einsum form. XLA's own conv_transpose kernel-gradient emits
+    # a full-resolution `reverse` (2.8 ms at 608x968x64 in the train-step
+    # trace) + dilated conv; splitting g's even/odd rows+cols by a reshape
+    # turns it into one multi-dim dot_general with no reverse. (A previous
+    # STRIDED-SLICE matmul form hard-crashed the TPU worker — see git
+    # history; the reshape lowering avoids strided slices entirely.)
+    # dk[di,dj,c,o] = sum_{n,i,j} x[n,i,j,c] * g[n, 2i+1-di, 2j+1-dj, o]
+    n, hh, ww, _ = x.shape
+    o = g.shape[-1]
+    g6 = g.reshape(n, hh, 2, ww, 2, o)
+    dk = jax.lax.dot_general(
+        x, g6,
+        dimension_numbers=(((0, 1, 2), (0, 1, 3)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (c, r, s, o)
+    dk = dk.transpose(1, 2, 0, 3)[::-1, ::-1]
     return dx.astype(x.dtype), dk.astype(k.dtype)
 
 
@@ -384,10 +392,18 @@ class PallasConv3x3(nn.Module):
                 x, kernel.astype(self.dtype), bias.astype(jnp.float32),
                 relu=self.relu, out_dtype=self.dtype, interpret=not on_tpu,
             )
+        # Route EVERY qualifying narrow-output conv through the packed kernel,
+        # including 64->64 where XLA wins in isolation (3.1 vs 3.9 ms): the
+        # serving-graph trace (scripts/trace_infer.py) shows in-graph XLA
+        # full-res convs pick transposed layouts ({3,0,2,1:T(2,128)}) and pay
+        # ~0.5-0.7 ms conversion copies at every Pallas boundary — keeping
+        # the whole full-resolution region in one layout regime wins
+        # (packed 128->64 measures 0.81 ms in-graph at batch 1 vs 2.7-3.5 ms
+        # for the XLA layout-converted equivalent).
         packed_wins = (
             on_tpu
             and x.shape[1] * x.shape[2] >= self.min_pixels
-            and c > 64
+            and c >= 33
             and self.features <= 64
         )
         if packed_wins:
@@ -463,7 +479,9 @@ class Down(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        from hyperpri_tpu.ops.pool import max_pool_2x2
+
+        x = max_pool_2x2(x)
         return DoubleConv(
             self.out_channels,
             fused_bn=self.fused_bn,

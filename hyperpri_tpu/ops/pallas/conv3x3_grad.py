@@ -68,17 +68,25 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int):
                 )
 
 
-@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+@functools.partial(jax.jit, static_argnames=("th", "pad_w_to", "interpret"))
 def conv3x3_wgrad(
     x: jnp.ndarray,
     g: jnp.ndarray,
     *,
     th: int = 16,
+    pad_w_to: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """dW (3, 3, C, O) f32 for y = conv3x3_same(x, w), given cotangent g.
 
     x: (N, H, W, C); g: (N, H, W, O).
+
+    pad_w_to: total padded input width (left border + W + right zeros) to
+    use instead of the minimal round_up(W,8)+8. Passing the packed forward
+    kernel's geometry (conv3x3_packed.padded_width) makes this kernel's
+    input pad byte-identical to the forward's, so XLA CSEs the two
+    full-resolution pads into one (measured ~1.9 ms/step on CubeNET).
+    The extra columns are zeros and contribute nothing to dW.
     """
     n, h, width, c = x.shape
     gn, gh, gw, o = g.shape
@@ -87,6 +95,9 @@ def conv3x3_wgrad(
 
     wo = _round_up(width, 8)
     wb = _round_up(wo + 2, 8)
+    if pad_w_to is not None:
+        assert pad_w_to >= wb and pad_w_to % 8 == 0, (pad_w_to, wb)
+        wb = pad_w_to
     cp = _round_up(c, LANE)
     op = _round_up(o, 8)
     n_chunks = cp // LANE

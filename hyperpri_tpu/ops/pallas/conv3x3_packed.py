@@ -47,6 +47,42 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def fit_tiles(h, width, c, o, in_dtype, out_dtype, th=8, tw=None, lane_stride=64):
+    """(th, tw) auto-fit to the scoped-VMEM budget. twb = tw + 8: the 2-col
+    halo rounded up to a whole sublane tile (windows overlap by 8). Exposed
+    so callers (conv_train) can reproduce the pad geometry and share the
+    padded input with the wgrad kernel."""
+    cp = _round_up(c, LANE)
+    op = _round_up(o, 8)
+    ls = lane_stride
+    th = min(th, _round_up(h, 8))
+
+    def vmem_bytes(th_, tw_):
+        twb_ = tw_ + 8
+        esz = jnp.dtype(in_dtype).itemsize
+        x_b = 2 * (th_ + 2) * twb_ * cp * esz
+        w_b = 2 * 3 * cp * 3 * ls * esz
+        p_b = th_ * twb_ * 3 * ls * 4
+        a_b = th_ * tw_ * ls * 4
+        o_b = 2 * th_ * tw_ * op * jnp.dtype(out_dtype).itemsize
+        return x_b + w_b + p_b + a_b + o_b
+
+    if tw is None:
+        tw = _round_up(width, 8)
+        while tw > 64 and vmem_bytes(th, tw) > 11 * 1024 * 1024:
+            tw = _round_up((tw + 1) // 2, 8)
+    while th > 4 and vmem_bytes(th, tw) > 11 * 1024 * 1024:
+        th //= 2
+    return th, tw
+
+
+def padded_width(width, h, c, o, in_dtype, out_dtype, lane_stride=64):
+    """Total padded W (left border + W + right) the packed kernel DMAs."""
+    th, tw = fit_tiles(h, width, c, o, in_dtype, out_dtype, lane_stride=lane_stride)
+    n_w = -(-width // tw)
+    return 1 + width + ((n_w - 1) * tw + (tw + 8) - 1 - width)
+
+
 def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None):
     if stats_hw is None:
         x_ref, w_ref, b_ref, o_ref, p_ref, acc_ref = refs
@@ -135,24 +171,8 @@ def conv3x3_packed(
     assert ls % 8 == 0 and op <= ls <= LANE, (ls, op)
     th = min(th, _round_up(h, 8))
 
-    # Auto-fit (th, tw) to the scoped-VMEM budget. twb = tw + 8: the 2-col
-    # halo rounded up to a whole sublane tile (windows overlap by 8).
-    def vmem_bytes(th_, tw_):
-        twb_ = tw_ + 8
-        esz = x.dtype.itemsize
-        x_b = 2 * (th_ + 2) * twb_ * cp * esz
-        w_b = 2 * 3 * cp * 3 * ls * w.dtype.itemsize
-        p_b = th_ * twb_ * 3 * ls * 4
-        a_b = th_ * tw_ * ls * 4
-        o_b = 2 * th_ * tw_ * op * jnp.dtype(out_dtype).itemsize
-        return x_b + w_b + p_b + a_b + o_b
-
-    if tw is None:
-        tw = _round_up(width, 8)
-        while tw > 64 and vmem_bytes(th, tw) > 11 * 1024 * 1024:
-            tw = _round_up((tw + 1) // 2, 8)
-    while th > 4 and vmem_bytes(th, tw) > 11 * 1024 * 1024:
-        th //= 2
+    th, tw = fit_tiles(h, width, c, o, x.dtype, out_dtype,
+                       th=th, tw=tw, lane_stride=ls)
     twb = tw + 8
 
     n_h = pl.cdiv(h, th)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from hyperpri_tpu.ops.pallas.conv3x3 import conv3x3_bias_act
 from hyperpri_tpu.ops.pallas.conv3x3_grad import conv3x3_wgrad
-from hyperpri_tpu.ops.pallas.conv3x3_packed import conv3x3_packed
+from hyperpri_tpu.ops.pallas.conv3x3_packed import conv3x3_packed, padded_width
 
 # Tap-packing stride for the packed kernel (see conv3x3_packed.py): 64
 # halves the P scratch/N-passes for the O<=64 layers; measured faster than
@@ -57,6 +57,19 @@ def _conv_route(x, w, b, *, relu, with_stats=False, interpret=False):
     )
 
 
+def _wgrad(x, g, o, interpret):
+    """dW with the input pad geometry matched to the packed forward's (so
+    XLA CSEs the two full-res pads) whenever the forward took the packed
+    route."""
+    pad_w = None
+    if o <= _PACKED_LS:
+        pad_w = padded_width(
+            x.shape[2], x.shape[1], x.shape[3], o, x.dtype, x.dtype,
+            lane_stride=_PACKED_LS,
+        )
+    return conv3x3_wgrad(x, g, pad_w_to=pad_w, interpret=interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def conv3x3_bias_train(x, w, b, interpret=False):
     """y = conv3x3_same(x, w) + b, differentiable, Pallas on TPU.
@@ -78,7 +91,7 @@ def _bwd(interpret, res, g):
     wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
     dx = _conv_route(g, wt, zero_bias, relu=False, interpret=interpret)
-    dw = conv3x3_wgrad(x, g, interpret=interpret).astype(w.dtype)
+    dw = _wgrad(x, g, w.shape[-1], interpret).astype(w.dtype)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
     return dx, dw, db
 
@@ -118,7 +131,7 @@ def _stats_bwd(interpret, res, cotangents):
     wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
     dx = _conv_route(g_eff, wt, zero_bias, relu=False, interpret=interpret)
-    dw = conv3x3_wgrad(x, g_eff, interpret=interpret).astype(w.dtype)
+    dw = _wgrad(x, g_eff, w.shape[-1], interpret).astype(w.dtype)
     db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 1, 2))
     return dx, dw, db
 

@@ -12,6 +12,7 @@ Usage: python scripts/trace_train.py [--steps 4] [--top 40] [--infer]
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import json
 import os
@@ -50,13 +51,21 @@ def main():
     b, h, w = args.batch, 608, 968
     K = args.steps
 
+    # Same input staging as scripts/bench_train.py: a base batch staged
+    # outside the step, varied by a per-step scalar (an in-graph full-res
+    # RNG regeneration costs ~10 ms/step and pollutes the trace).
+    base_key = jax.random.key(123)
+    base_image = jax.random.normal(base_key, (b, h, w, channels), jnp.float32)
+    base_mask = (jax.random.uniform(base_key, (b, h, w, 1)) < 0.3).astype(jnp.float32)
+
     @jax.jit
-    def run(state, key):
-        def body(carry, k):
+    def run(state, base_image, base_mask, key):
+        scales = 1.0 + jax.random.normal(key, (K,), jnp.float32) * 1e-3
+
+        def body(carry, scale):
             st, acc = carry
-            image = jax.random.normal(k, (b, h, w, channels), jnp.float32)
-            mask = (jax.random.uniform(k, (b, h, w, 1)) < 0.3).astype(jnp.float32)
-            batch = {"image": image, "mask": mask, "valid": jnp.ones((b,))}
+            image = base_image * scale
+            batch = {"image": image, "mask": base_mask, "valid": jnp.ones((b,))}
             if args.infer:
                 logits = st.apply_fn(
                     {"params": st.params, "batch_stats": st.batch_stats},
@@ -64,9 +73,12 @@ def main():
                 return (st, acc + jnp.sum(logits * logits) * 1e-20), None
             st, logs = train_step(st, batch)
             return (st, acc + logs["loss_sum"]), None
-        (state, acc), _ = jax.lax.scan(body, (state, jnp.zeros(())), jax.random.split(key, K))
+        (state, acc), _ = jax.lax.scan(body, (state, jnp.zeros(())), scales)
         return acc
 
+    run = functools.partial(run, base_image=base_image, base_mask=base_mask)
+    run_ = run
+    run = lambda st, key: run_(st, key=key)
     float(run(state, jax.random.key(0)))  # compile + warm
 
     tdir = tempfile.mkdtemp(prefix="jaxtrace_")
