@@ -51,7 +51,8 @@ class HyperpriDataset:
 
     Items are dicts {'image', 'mask', 'index', 'label'} mirroring the
     reference's __getitem__ contract (dataset.py:249-298), with 'image'
-    (H, W, C) float32 channel-last and 'mask' (H, W, 1) float32 in {0, 1}.
+    (H, W, C) channel-last in `image_dtype` (float32 default; bf16 for the
+    TPU ingest path) and 'mask' (H, W, 1) float32 in {0, 1}.
     """
 
     def __init__(
@@ -67,6 +68,7 @@ class HyperpriDataset:
         unsqueeze_img: bool = False,  # accepted for API parity; NHWC needs no axis
         seed: int = 0,
         cache_items: int = 0,
+        image_dtype=np.float32,
     ):
         if json_file is None:
             raise ValueError("hyperpri_tpu requires a split JSON (the reference's "
@@ -94,6 +96,19 @@ class HyperpriDataset:
         # pairs are kept in host RAM (pre-crop, so augmentation stays fresh).
         self._cache_items = cache_items
         self._cache: "dict[int, tuple]" = {}
+        # Returned/cached image dtype. ml_dtypes.bfloat16 moves the f32->bf16
+        # cast to decode time (once per cube, amortized by the LRU) instead of
+        # once per epoch in the loader: warm-epoch collate touches half the
+        # bytes and the per-batch 1.1 GB astype disappears.
+        self.image_dtype = np.dtype(image_dtype)
+
+    def set_image_dtype(self, dtype) -> None:
+        """Change the returned image dtype; drops cache entries of the old
+        dtype so the cache never serves stale-dtype arrays."""
+        dtype = np.dtype(dtype)
+        if dtype != self.image_dtype:
+            self.image_dtype = dtype
+            self._cache.clear()
 
     def __len__(self) -> int:
         return len(self.files)
@@ -113,6 +128,8 @@ class HyperpriDataset:
         entry = self.files[i]
         if self.mode == "hsi":
             img = read_cube(entry.hdr, entry.dat, self.hsi_lo, self.hsi_hi)
+            if img.dtype != self.image_dtype:
+                img = img.astype(self.image_dtype)
         elif self.mode == "gray":
             g = _load_png(entry.img, "L").astype(np.float32) / 255.0
             img = np.repeat(g[..., None], 3, axis=-1)
@@ -153,7 +170,7 @@ class HyperpriDataset:
 
         mask = (np.asarray(label) > 0).astype(np.float32)[..., None]
         return {
-            "image": np.ascontiguousarray(img, dtype=np.float32),
+            "image": np.ascontiguousarray(img, dtype=self.image_dtype),
             "mask": mask,
             "index": entry.name,
             "label": entry.label,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Sequence
 
 import jax
@@ -64,6 +65,7 @@ class DataLoader:
         sharding=None,
         weighted: bool = False,
         image_dtype=None,
+        fetch_workers: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -74,8 +76,16 @@ class DataLoader:
         self.sharding = sharding
         # Cast images on host before device_put (e.g. ml_dtypes.bfloat16 when
         # the model computes in bf16): halves host->device bytes, which is
-        # the ingest bottleneck for ~270 MB hyperspectral cubes.
+        # the ingest bottleneck for ~270 MB hyperspectral cubes. The cast is
+        # pushed into the dataset when it supports it (set_image_dtype), so
+        # decoded cubes are cached already-cast and warm epochs skip the
+        # ~0.5 s/batch full-cube astype entirely.
         self.image_dtype = image_dtype
+        if image_dtype is not None and hasattr(dataset, "set_image_dtype"):
+            dataset.set_image_dtype(image_dtype)
+        # Per-sample threaded fetch within a batch: decode/crop/binarize are
+        # large numpy ops that release the GIL; 2-4 workers overlap them.
+        self.fetch_workers = max(1, int(fetch_workers))
         # Inverse-frequency weighted sampling from dataset.sample_weights
         # (the weights the reference computes at dataset.py:76-82 but never
         # consumes; opt-in here).
@@ -113,10 +123,27 @@ class DataLoader:
         elif self.shuffle:
             order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
         crop_rng = np.random.default_rng((self.seed + 1, self.epoch))
-        for start in range(0, n, self.batch_size):
-            idx = order[start : start + self.batch_size]
-            samples = [self.dataset.__getitem__(int(i), rng=crop_rng) for i in idx]
-            yield collate(samples, self.batch_size)
+        pool = (
+            ThreadPoolExecutor(min(self.fetch_workers, self.batch_size))
+            if self.fetch_workers > 1 and self.batch_size > 1
+            else None
+        )
+        try:
+            for start in range(0, n, self.batch_size):
+                idx = order[start : start + self.batch_size]
+                # One spawned child generator per sample: crops stay a pure
+                # function of (seed, epoch, position) whether fetched
+                # sequentially or in parallel.
+                rngs = crop_rng.spawn(len(idx))
+                fetch = lambda ir: self.dataset.__getitem__(int(ir[0]), rng=ir[1])
+                if pool is not None:
+                    samples = list(pool.map(fetch, zip(idx, rngs)))
+                else:
+                    samples = [fetch(ir) for ir in zip(idx, rngs)]
+                yield collate(samples, self.batch_size)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self) -> Iterator[Dict]:
         if self.prefetch <= 0:
@@ -148,7 +175,7 @@ class DataLoader:
 
     def _maybe_put(self, it: Iterator[Dict]) -> Iterator[Dict]:
         for b in it:
-            if self.image_dtype is not None:
+            if self.image_dtype is not None and b["image"].dtype != self.image_dtype:
                 b["image"] = b["image"].astype(self.image_dtype)
             if self.device_put:
                 names = b.pop("names")

@@ -114,7 +114,7 @@ class CubeNET(nn.Module):
             y = pad_to_match(y, x1.shape[1], x1.shape[2])
             y = conv4(jnp.concatenate([x1, y], axis=-1), train=train)
 
-        logits = OutConv(self.n_classes, dtype=self.dtype, name="outc")(y)
+        logits = OutConv(self.n_classes, dtype=self.dtype, name="outc")(y, train=train)
         logits = logits.astype(jnp.float32)
 
         if self.analyze:

@@ -549,6 +549,41 @@ class Up(nn.Module):
         return conv(x, train=train)
 
 
+class _FlatHead(nn.Module):
+    """1x1 conv with out_channels=1, computed as a channel contraction to a
+    rank-3 (N, H, W) tensor, then re-expanded.
+
+    Why not nn.Conv: a full-resolution (N, H, W, 1) conv output forces XLA
+    into a bad corner — the natural T(8,128) layout pads the size-1 channel
+    128x, so layout assignment picks a transposed {3,0,2,1:T(2,128)} layout
+    instead, and the fused head+loss computation then runs at 24 GiB/s
+    (6.1 ms of the 113 ms CubeNET train step, hlo_stats). Contracting to
+    rank-3 keeps every full-res tensor in the dense (8,128)-tiled layout;
+    the trailing [..., None] cancels against the loss path's squeeze.
+
+    Training-graph only: the pure-forward serving graph measures FASTER with
+    the plain nn.Conv head (60.3 vs 42.2 cubes/s — XLA fuses the conv head
+    into the final DoubleConv there, and the layout pathology above is
+    specific to the value+grad graph). Parameter names/shapes match nn.Conv
+    ('kernel' (1,1,C,1), 'bias' (1,)), so checkpoints are interchangeable."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, c, 1), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (1,), jnp.float32)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype),
+            kernel.reshape(c).astype(self.dtype),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+        )  # (N, H, W)
+        return (y + bias.astype(self.dtype))[..., None]
+
+
 class OutConv(nn.Module):
     """1x1 conv head. Reference: model_parts.py:93-99."""
 
@@ -556,5 +591,7 @@ class OutConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        if self.out_channels == 1 and train:
+            return _FlatHead(dtype=self.dtype, name="conv")(x)
         return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv")(x)

@@ -58,7 +58,7 @@ class UNet(nn.Module):
         y = Up(c * 2, c * factor, self.bilinear, self.use_attention, self.fused_bn, self.use_pallas, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="up4")(
             y, x1, train=train
         )
-        logits = OutConv(self.n_classes, dtype=self.dtype, name="outc")(y)
+        logits = OutConv(self.n_classes, dtype=self.dtype, name="outc")(y, train=train)
         logits = logits.astype(jnp.float32)
 
         if self.analyze:

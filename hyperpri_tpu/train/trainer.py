@@ -115,10 +115,23 @@ def create_train_state(cfg: ExperimentConfig, model, sample_image: np.ndarray, s
     )
 
 
+def _squeeze_last(*arrs):
+    """Drop a trailing size-1 channel axis from each array (no-op otherwise).
+
+    Full-resolution (N, H, W, 1) tensors get pathological layouts on TPU
+    (see models/parts.py:_FlatHead); computing the elementwise loss/metric
+    math at rank 3 keeps the whole head+loss region in dense layouts and
+    cancels the head's trailing [..., None]."""
+    return tuple(
+        a[..., 0] if a.ndim >= 3 and a.shape[-1] == 1 else a for a in arrs
+    )
+
+
 def masked_bce(logits, targets, valid):
     """Mean BCE over valid samples only (padded batch entries excluded)."""
     from hyperpri_tpu.ops.losses import bce_with_logits
 
+    logits, targets = _squeeze_last(logits, targets)
     per = bce_with_logits(logits, targets, reduction="none")
     w = valid.reshape((-1,) + (1,) * (per.ndim - 1)).astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(w) * np.prod(per.shape[1:]), 1.0)
@@ -126,6 +139,7 @@ def masked_bce(logits, targets, valid):
 
 
 def _batch_stats_metrics(logits, mask, valid, threshold):
+    logits, mask = _squeeze_last(logits, mask)
     probs_pos = jax.nn.sigmoid(logits)
     v = valid.reshape((-1,) + (1,) * (mask.ndim - 1)) > 0
     return StatScores.zeros().update(probs_pos, mask, threshold, valid=v)

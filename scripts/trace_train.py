@@ -55,7 +55,8 @@ def main():
     # outside the step, varied by a per-step scalar (an in-graph full-res
     # RNG regeneration costs ~10 ms/step and pollutes the trace).
     base_key = jax.random.key(123)
-    base_image = jax.random.normal(base_key, (b, h, w, channels), jnp.float32)
+    image_dt = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+    base_image = jax.random.normal(base_key, (b, h, w, channels), jnp.float32).astype(image_dt)
     base_mask = (jax.random.uniform(base_key, (b, h, w, 1)) < 0.3).astype(jnp.float32)
 
     @jax.jit
@@ -64,7 +65,7 @@ def main():
 
         def body(carry, scale):
             st, acc = carry
-            image = base_image * scale
+            image = base_image * scale.astype(base_image.dtype)
             batch = {"image": image, "mask": base_mask, "valid": jnp.ones((b,))}
             if args.infer:
                 logits = st.apply_fn(
@@ -119,8 +120,10 @@ def main():
                      or k.lower().startswith("total_time")), None)
     if time_key is None:
         time_key = next((k for k in keys if "time" in k.lower() and "%" not in k), list(keys)[0])
-    name_key = next((k for k in keys if "expression" in k.lower() or "hlo" in k.lower()
-                     or "name" in k.lower()), list(keys)[0])
+    name_key = next((k for k in keys if k.lower() in ("hlo op text", "hlo op expression")),
+                    None) or next((k for k in keys if "expression" in k.lower()
+                                   or "hlo op name" in k.lower() or "name" in k.lower()),
+                                  list(keys)[0])
     cat_key = next((k for k in keys if "category" in k.lower()), None)
 
     def tval(r):
