@@ -127,9 +127,12 @@ class HyperpriDataset:
     def _load_raw(self, i: int):
         entry = self.files[i]
         if self.mode == "hsi":
-            img = read_cube(entry.hdr, entry.dat, self.hsi_lo, self.hsi_hi)
-            if img.dtype != self.image_dtype:
-                img = img.astype(self.image_dtype)
+            # Decode straight into the target dtype: the native reader emits
+            # bf16 in-gather (runtime/envi_reader.cc envi_read_slice_bf16),
+            # the numpy fallback casts in its final ascontiguousarray.
+            img = read_cube(
+                entry.hdr, entry.dat, self.hsi_lo, self.hsi_hi, dtype=self.image_dtype
+            )
         elif self.mode == "gray":
             g = _load_png(entry.img, "L").astype(np.float32) / 255.0
             img = np.repeat(g[..., None], 3, axis=-1)

@@ -56,16 +56,41 @@ def get_library():
         ctypes.POINTER(ctypes.c_float),  # out
         ctypes.c_int,  # n_threads
     ]
+    if hasattr(lib, "envi_read_slice_bf16"):
+        lib.envi_read_slice_bf16.restype = ctypes.c_int
+        lib.envi_read_slice_bf16.argtypes = lib.envi_read_slice.argtypes[:-2] + [
+            ctypes.POINTER(ctypes.c_uint16),  # out (bf16 bit patterns)
+            ctypes.c_int,  # n_threads
+        ]
     _lib = lib
     return _lib
 
 
-def read_cube_native(hdr, dat_path: str, band_lo: int, band_hi: int, dtype) -> Optional[np.ndarray]:
-    """Native band-window read; None if unavailable (caller falls back)."""
-    if np.dtype(dtype) != np.float32:
+def _bf16_dtype():
+    try:
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    except ImportError:  # pragma: no cover
         return None
+
+
+def read_cube_native(hdr, dat_path: str, band_lo: int, band_hi: int, dtype) -> Optional[np.ndarray]:
+    """Native band-window read; None if unavailable (caller falls back).
+
+    dtype float32 uses envi_read_slice; ml_dtypes.bfloat16 uses
+    envi_read_slice_bf16 (in-reader RNE conversion — half the materialized
+    bytes, no Python-side cast on the cold decode path)."""
     lib = get_library()
     if lib is None:
+        return None
+    bf16 = _bf16_dtype()
+    want = np.dtype(dtype)
+    if want == np.float32:
+        fn, out_dt, ptr_t = lib.envi_read_slice, np.float32, ctypes.c_float
+    elif bf16 is not None and want == bf16 and hasattr(lib, "envi_read_slice_bf16"):
+        fn, out_dt, ptr_t = lib.envi_read_slice_bf16, bf16, ctypes.c_uint16
+    else:
         return None
     from hyperpri_tpu.data.envi import ENVI_DTYPES
 
@@ -73,8 +98,8 @@ def read_cube_native(hdr, dat_path: str, band_lo: int, band_hi: int, dtype) -> O
     if dtype_code is None:
         return None
     nb = band_hi - band_lo
-    out = np.empty((hdr.lines, hdr.samples, nb), np.float32)
-    rc = lib.envi_read_slice(
+    out = np.empty((hdr.lines, hdr.samples, nb), out_dt)
+    rc = fn(
         dat_path.encode(),
         hdr.header_offset,
         hdr.lines,
@@ -85,7 +110,7 @@ def read_cube_native(hdr, dat_path: str, band_lo: int, band_hi: int, dtype) -> O
         _INTERLEAVE_CODE[hdr.interleave],
         band_lo,
         band_hi,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ptr_t)),
         min(os.cpu_count() or 1, 8),
     )
     if rc != 0:

@@ -90,18 +90,40 @@ struct Geometry {
   }
 };
 
-void gather_rows(const uint8_t* base, const Geometry& g, float* out, int line_begin,
-                 int line_end) {
+// float -> bfloat16 with round-to-nearest-even (numpy/ml_dtypes semantics).
+inline uint16_t f32_to_bf16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  if ((x & 0x7fffffffu) > 0x7f800000u) return static_cast<uint16_t>((x >> 16) | 0x40);
+  uint32_t lsb = (x >> 16) & 1u;
+  x += 0x7fffu + lsb;
+  return static_cast<uint16_t>(x >> 16);
+}
+
+struct StoreF32 {
+  using Out = float;
+  static inline Out cvt(float f) { return f; }
+};
+struct StoreBF16 {
+  using Out = uint16_t;
+  static inline Out cvt(float f) { return f32_to_bf16(f); }
+};
+
+template <typename Store>
+void gather_rows(const uint8_t* base, const Geometry& g,
+                 typename Store::Out* out, int line_begin, int line_end) {
   const int nb = g.band_hi - g.band_lo;
   for (int line = line_begin; line < line_end; ++line) {
-    float* row_out = out + static_cast<size_t>(line) * g.samples * nb;
+    typename Store::Out* row_out = out + static_cast<size_t>(line) * g.samples * nb;
     if (g.interleave == BIP && g.dtype == F32 && !g.swap) {
-      // fast path: contiguous per-pixel spectra, straight strided memcpy
+      // fast path: contiguous per-pixel spectra (memcpy for f32 out,
+      // tight convert loop for bf16 — both vectorize)
       const uint8_t* src = base + g.offset(line, g.band_lo, 0);
       for (int s = 0; s < g.samples; ++s) {
-        std::memcpy(row_out + static_cast<size_t>(s) * nb,
-                    src + (static_cast<size_t>(s) * g.bands) * g.esize,
-                    static_cast<size_t>(nb) * sizeof(float));
+        const float* sp =
+            reinterpret_cast<const float*>(src + (static_cast<size_t>(s) * g.bands) * g.esize);
+        typename Store::Out* dp = row_out + static_cast<size_t>(s) * nb;
+        for (int b = 0; b < nb; ++b) dp[b] = Store::cvt(sp[b]);
       }
       continue;
     }
@@ -109,15 +131,16 @@ void gather_rows(const uint8_t* base, const Geometry& g, float* out, int line_be
       // fast path: one contiguous span per (line, band); transpose to NHWC
       for (int b = g.band_lo; b < g.band_hi; ++b) {
         const float* src = reinterpret_cast<const float*>(base + g.offset(line, b, 0));
-        float* dst = row_out + (b - g.band_lo);
-        for (int s = 0; s < g.samples; ++s) dst[static_cast<size_t>(s) * nb] = src[s];
+        typename Store::Out* dst = row_out + (b - g.band_lo);
+        for (int s = 0; s < g.samples; ++s)
+          dst[static_cast<size_t>(s) * nb] = Store::cvt(src[s]);
       }
       continue;
     }
     for (int s = 0; s < g.samples; ++s) {
       for (int b = g.band_lo; b < g.band_hi; ++b) {
         row_out[static_cast<size_t>(s) * nb + (b - g.band_lo)] =
-            load_as_float(base + g.offset(line, b, s), g.dtype, g.swap);
+            Store::cvt(load_as_float(base + g.offset(line, b, s), g.dtype, g.swap));
       }
     }
   }
@@ -125,12 +148,40 @@ void gather_rows(const uint8_t* base, const Geometry& g, float* out, int line_be
 
 }  // namespace
 
+template <typename Store>
+int read_slice_impl(const char* dat_path, long header_offset, int lines, int samples,
+                    int bands, int dtype_code, int byte_order, int interleave,
+                    int band_lo, int band_hi, typename Store::Out* out, int n_threads);
+
 extern "C" {
 
 // Returns 0 on success, negative errno-style codes on failure.
 int envi_read_slice(const char* dat_path, long header_offset, int lines, int samples,
                     int bands, int dtype_code, int byte_order, int interleave,
                     int band_lo, int band_hi, float* out, int n_threads) {
+  return read_slice_impl<StoreF32>(dat_path, header_offset, lines, samples, bands,
+                                   dtype_code, byte_order, interleave, band_lo,
+                                   band_hi, out, n_threads);
+}
+
+// Same gather, output stored as bfloat16 (uint16 bit pattern, RNE): halves
+// the materialized bytes for the TPU bf16 ingest path and skips the
+// Python-side f32->bf16 cast on the cold decode.
+int envi_read_slice_bf16(const char* dat_path, long header_offset, int lines,
+                         int samples, int bands, int dtype_code, int byte_order,
+                         int interleave, int band_lo, int band_hi, uint16_t* out,
+                         int n_threads) {
+  return read_slice_impl<StoreBF16>(dat_path, header_offset, lines, samples, bands,
+                                    dtype_code, byte_order, interleave, band_lo,
+                                    band_hi, out, n_threads);
+}
+
+}  // extern "C"
+
+template <typename Store>
+int read_slice_impl(const char* dat_path, long header_offset, int lines, int samples,
+                    int bands, int dtype_code, int byte_order, int interleave,
+                    int band_lo, int band_hi, typename Store::Out* out, int n_threads) {
   if (band_lo < 0 || band_hi > bands || band_lo >= band_hi) return -22;  // EINVAL
   size_t esize = dtype_size(dtype_code);
   if (esize == 0) return -22;
@@ -159,14 +210,14 @@ int envi_read_slice(const char* dat_path, long header_offset, int lines, int sam
              interleave, dtype_code, byte_order == 1, esize};
 
   if (n_threads <= 1 || lines < 2 * n_threads) {
-    gather_rows(base, g, out, 0, lines);
+    gather_rows<Store>(base, g, out, 0, lines);
   } else {
     std::vector<std::thread> pool;
     int chunk = (lines + n_threads - 1) / n_threads;
     for (int t = 0; t < n_threads; ++t) {
       int lo = t * chunk, hi = std::min(lines, lo + chunk);
       if (lo >= hi) break;
-      pool.emplace_back(gather_rows, base, std::cref(g), out, lo, hi);
+      pool.emplace_back(gather_rows<Store>, base, std::cref(g), out, lo, hi);
     }
     for (auto& th : pool) th.join();
   }
@@ -174,5 +225,3 @@ int envi_read_slice(const char* dat_path, long header_offset, int lines, int sam
   munmap(map, st.st_size);
   return 0;
 }
-
-}  // extern "C"

@@ -345,3 +345,85 @@ def test_loader_probe_is_host_side_and_threadless(synth):
     b = dl.probe()
     assert isinstance(b["image"], np.ndarray) and b["image"].shape[0] == 1
     assert threading.active_count() == n_threads  # no prefetch producer leaked
+
+
+def test_dataset_image_dtype_cache_and_loader_pushdown(synth):
+    import ml_dtypes
+
+    ds = HyperpriDataset(
+        synth["root"], mode="HSI", json_file=synth["splits"]["train"],
+        hsi_lo=2, hsi_hi=18, cache_items=8,
+    )
+    ref = np.asarray(ds[0]["image"], np.float32)
+    assert ds[0]["image"].dtype == np.float32
+
+    # Loader pushes its image_dtype into the dataset: decoded cubes are
+    # cached already-cast, batches come out bf16 with no loader-side astype.
+    dl = DataLoader(
+        ds, batch_size=2, shuffle=False, device_put=False,
+        image_dtype=ml_dtypes.bfloat16,
+    )
+    assert ds.image_dtype == np.dtype(ml_dtypes.bfloat16)
+    assert ds._cache == {}  # stale f32 cache entries dropped on dtype change
+    b = next(iter(dl))
+    assert b["image"].dtype == ml_dtypes.bfloat16
+    assert b["mask"].dtype == np.float32
+    np.testing.assert_allclose(
+        np.asarray(b["image"][0], np.float32), ref, rtol=0.01, atol=1e-3
+    )
+    # cache now holds bf16 decodes; switching back clears again
+    assert len(ds._cache) > 0
+    ds.set_image_dtype(np.float32)
+    assert ds._cache == {}
+
+
+def test_dataloader_parallel_fetch_matches_sequential(synth):
+    ds = HyperpriDataset(
+        synth["root"], mode="RGB", json_file=synth["splits"]["train"],
+        crop_size=(8, 10),
+    )
+    seq = DataLoader(ds, batch_size=3, shuffle=True, seed=11, device_put=False,
+                     fetch_workers=1)
+    par = DataLoader(ds, batch_size=3, shuffle=True, seed=11, device_put=False,
+                     fetch_workers=4)
+    seq.set_epoch(2)
+    par.set_epoch(2)
+    for b1, b2 in zip(seq, par):
+        assert b1["names"] == b2["names"]
+        np.testing.assert_array_equal(b1["image"], b2["image"])
+        np.testing.assert_array_equal(b1["mask"], b2["mask"])
+
+
+def test_native_reader_bf16_matches_numpy(tmp_path, rng):
+    """envi_read_slice_bf16 == numpy decode + RNE cast, for every interleave.
+
+    Skips when runtime/build/libhyperpri_io.so is not built."""
+    import ml_dtypes
+
+    from hyperpri_tpu.data import native_io
+
+    if native_io.get_library() is None or not hasattr(
+        native_io.get_library(), "envi_read_slice_bf16"
+    ):
+        import pytest as _pytest
+
+        _pytest.skip("native reader not built")
+    for interleave in ("bil", "bip", "bsq"):
+        cube = rng.normal(size=(9, 13, 7)).astype(np.float32)
+        hdr = str(tmp_path / f"b_{interleave}.hdr")
+        dat = str(tmp_path / f"b_{interleave}.dat")
+        write_envi(hdr, dat, cube, interleave=interleave)
+        out = read_cube(hdr, dat, 1, 6, dtype=ml_dtypes.bfloat16)
+        assert out.dtype == ml_dtypes.bfloat16
+        ref = cube[:, :, 1:6].astype(ml_dtypes.bfloat16)  # numpy RNE
+        np.testing.assert_array_equal(
+            out.view(np.uint16), ref.view(np.uint16)
+        )
+    # int16 source (the non-fast gather path)
+    cube16 = (rng.normal(size=(6, 8, 5)) * 1000).astype(np.int16)
+    hdr = str(tmp_path / "b_i16.hdr")
+    dat = str(tmp_path / "b_i16.dat")
+    write_envi(hdr, dat, cube16, interleave="bil")
+    out = read_cube(hdr, dat, 0, 5, dtype=ml_dtypes.bfloat16)
+    ref = cube16[:, :, 0:5].astype(np.float32).astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(out.view(np.uint16), ref.view(np.uint16))
