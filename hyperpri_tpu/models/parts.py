@@ -186,7 +186,12 @@ class Conv3x3(nn.Module):
             and max(c, self.features) <= self.max_channels
         )
         on_tpu = jax.default_backend() == "tpu"
-        use_pallas = self.pallas_train and train and on_tpu and shape_ok
+        # A bare pallas_call cannot be GSPMD-partitioned: under a mesh the
+        # kernel must go through the shard_map route below, never this flag.
+        use_pallas = (
+            self.pallas_train and train and on_tpu and shape_ok
+            and self.spatial_mesh is None
+        )
         # Eval stays on XLA: the tap-packed kernel wins per-op at C>64/O<=64
         # (first conv 7.2 vs 10.9 ms) but measured SLOWER composed into the
         # batch-1 serving graph (38.7 vs 60.0 cubes/s whole-model) — XLA's
@@ -195,17 +200,28 @@ class Conv3x3(nn.Module):
         x = x.astype(self.dtype)
         if self.spatial_mesh is not None and shape_ok and (
             x.shape[1] % self.spatial_mesh.shape["spatial"] == 0
+            # shard_map needs equal shards on every mapped axis; batch-1
+            # tracing (param init) under a data>1 mesh falls through to the
+            # XLA conv (identical params, GSPMD handles the replicated init).
+            and x.shape[0] % self.spatial_mesh.shape["data"] == 0
         ):
-            # H sharded over 'spatial': explicit shard_map + ppermute halo
-            # exchange (SURVEY 5.7); runs the Pallas kernel per-shard on TPU.
-            from hyperpri_tpu.parallel.spatial_conv import conv3x3_spatial
+            # Mesh route (SURVEY 5.7): shard_map with explicit ppermute halo
+            # exchange over 'spatial', running the Pallas kernel per shard in
+            # training on TPU. Spatially-sharded meshes always take it (the
+            # GSPMD fallback is involuntary full rematerialization);
+            # data-parallel-only meshes take it only when it buys the Pallas
+            # training kernel — XLA's conv partitions fine over batch alone.
+            spatial_n = self.spatial_mesh.shape["spatial"]
+            if spatial_n > 1 or (self.pallas_train and train):
+                from hyperpri_tpu.parallel.spatial_conv import conv3x3_spatial
 
-            return (
-                conv3x3_spatial(
-                    x, kernel.astype(self.dtype), bias, self.spatial_mesh
-                ),
-                None,
-            )
+                return (
+                    conv3x3_spatial(
+                        x, kernel.astype(self.dtype), bias, self.spatial_mesh,
+                        train=train and self.pallas_train,
+                    ),
+                    None,
+                )
         if use_pallas:
             from hyperpri_tpu.ops.pallas.conv_train import (
                 conv3x3_bias_stats_train,

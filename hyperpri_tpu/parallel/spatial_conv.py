@@ -47,10 +47,21 @@ def conv3x3_spatial(
     *,
     data_axis: str = DATA_AXIS,
     spatial_axis: str = SPATIAL_AXIS,
+    train: bool = True,
 ) -> jnp.ndarray:
     """3x3 SAME conv + bias over (N, H, W, C) with N sharded on `data_axis`
     and H sharded on `spatial_axis`. Differentiable (Pallas custom-VJP path
-    on TPU)."""
+    on TPU).
+
+    With `spatial_axis` of size 1 (data-parallel-only meshes) the halo
+    exchange is skipped entirely — the shard_map then exists purely to run
+    the Pallas kernel per data shard, which GSPMD cannot partition on its
+    own (a bare pallas_call under a mesh forces activation replication).
+
+    `train=False` keeps the local conv on XLA even on TPU: the Pallas
+    kernels win only against the training graph's spatial-blocking
+    pathology; XLA's batch-1 pure-forward conv fusion is faster for
+    inference (measured, BENCHMARKS.md "serving Pallas dead end")."""
     n_spatial = mesh.shape[spatial_axis]
 
     fwd = functools.partial(jax.lax.conv_general_dilated,
@@ -58,7 +69,7 @@ def conv3x3_spatial(
                             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     def local_conv(xe, w, b):
-        if jax.default_backend() == "tpu":
+        if train and jax.default_backend() == "tpu":
             from hyperpri_tpu.ops.pallas.conv_train import conv3x3_bias_train
 
             return conv3x3_bias_train(xe, w, b.astype(jnp.float32))

@@ -243,13 +243,6 @@ class Trainer:
 
     def __init__(self, cfg: ExperimentConfig, model=None, mesh=None, use_spatial: bool = True):
         self.cfg = cfg
-        # The trainable Pallas conv path (cfg.pallas_train, -26% step time on
-        # one chip) is a custom call GSPMD cannot partition: under a mesh it
-        # would force activation replication, so SPMD runs force it off and
-        # rely on XLA's partitioned convs instead.
-        spmd = mesh is not None or bool(cfg.mesh_shape)
-        if spmd and cfg.pallas_train:
-            cfg.pallas_train = False
         self.model = model if model is not None else cfg.get_network()
         # SPMD engages only when asked for (cfg.mesh_shape / explicit mesh);
         # single-device jit otherwise. Host offload needs a mesh to express
@@ -261,15 +254,21 @@ class Trainer:
                   if cfg.offload_opt_state else None)
         )
         self.use_spatial = use_spatial
-        # Spatially-sharded runs: route qualifying convs through the explicit
-        # shard_map + ppermute halo exchange (parallel/spatial_conv.py,
-        # SURVEY §5.7) instead of leaving the stencil to GSPMD.
+        # Mesh runs: route qualifying convs through the explicit shard_map +
+        # ppermute halo exchange (parallel/spatial_conv.py, SURVEY §5.7)
+        # instead of leaving the stencil to GSPMD. Spatially-sharded meshes
+        # need it to avoid GSPMD's involuntary-remat fallback; data-parallel
+        # -only meshes use it (train-gated inside Conv3x3) to keep the fused
+        # Pallas training kernels, which a bare pallas_call under GSPMD
+        # cannot — the conv module falls back to XLA convs at eval or when
+        # pallas_train is off.
+        spatial_n = self.mesh.shape.get("spatial", 1) if self.mesh is not None else 1
         if (
             self.mesh is not None
-            and use_spatial
-            and self.mesh.shape.get("spatial", 1) > 1
             and hasattr(self.model, "spatial_mesh")
             and self.model.spatial_mesh is None
+            and ((use_spatial and spatial_n > 1)
+                 or (spatial_n == 1 and getattr(cfg, "pallas_train", False)))
         ):
             self.model = self.model.clone(spatial_mesh=self.mesh)
         self._train_step = None

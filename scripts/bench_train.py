@@ -36,6 +36,10 @@ def main():
                    help="override W for SpectralUNET (reference uses 700)")
     p.add_argument("--pallas-train", action="store_true",
                    help="route full-res convs through the trainable Pallas kernels")
+    p.add_argument("--shard-map", action="store_true",
+                   help="wrap the gated convs in the shard_map mesh route on a "
+                        "trivial 1-device mesh (measures the multi-chip path's "
+                        "per-shard kernel cost vs the bare pallas_call)")
     args = p.parse_args()
 
     import jax
@@ -62,6 +66,11 @@ def main():
     h, w = args.height, args.width
 
     model = cfg.get_network()
+    if args.shard_map:
+        from hyperpri_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh({"data": 1, "spatial": 1}, devices=jax.devices()[:1])
+        model = model.clone(spatial_mesh=mesh)
     import numpy as np
 
     state = create_train_state(cfg, model, np.zeros((1, 64, 64, channels), np.float32), seed=0)

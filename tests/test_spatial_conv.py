@@ -120,6 +120,105 @@ def test_conv3x3_module_spatial_routing(rng):
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y2_ref), atol=2e-5)
 
 
+def test_conv3x3_module_data_only_mesh_route(rng):
+    """Data-parallel-only mesh: the shard_map route fires only in training
+    with pallas_train on (where it exists to host the Pallas kernel per data
+    shard — a bare pallas_call cannot be GSPMD-partitioned); eval falls
+    through to the plain XLA conv. Both match the unsharded module."""
+    from hyperpri_tpu.models.parts import Conv3x3
+
+    mesh = make_mesh({"data": 8, "spatial": 1})
+    x = jnp.asarray(rng.normal(size=(8, 8, 12, 40)).astype(np.float32))
+    plain = Conv3x3(16)
+    vs = plain.init(jax.random.key(0), x)
+    y_ref, _ = plain.apply(vs, x)
+
+    routed = Conv3x3(16, spatial_mesh=mesh, pallas_train=True, min_pixels=1)
+    y_tr, st = jax.jit(lambda v, x: routed.apply(v, x, train=True))(vs, x)
+    assert st is None
+    np.testing.assert_allclose(np.asarray(y_tr), np.asarray(y_ref), atol=2e-5)
+    y_ev, _ = routed.apply(vs, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_ev), np.asarray(y_ref), atol=2e-5)
+
+    # batch-1 tracing (param init under a data>1 mesh) must not hit the
+    # shard_map divisibility requirement
+    x1 = x[:1]
+    y1, _ = routed.apply(vs, x1, train=True)
+    y1_ref, _ = plain.apply(vs, x1)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y1_ref), atol=2e-5)
+
+
+def test_conv3x3_data_only_mesh_gradients(rng):
+    """Gradients through the data-only-mesh shard_map route match the plain
+    conv: weight/bias cotangents come back psummed over the data axis."""
+    from hyperpri_tpu.models.parts import Conv3x3
+
+    mesh = make_mesh({"data": 8, "spatial": 1})
+    x = jnp.asarray(rng.normal(size=(8, 8, 10, 36)).astype(np.float32))
+    plain = Conv3x3(8)
+    routed = Conv3x3(8, spatial_mesh=mesh, pallas_train=True, min_pixels=1)
+    vs = plain.init(jax.random.key(1), x)
+
+    def loss(module):
+        def f(v, x):
+            y, _ = module.apply(v, x, train=True)
+            return jnp.sum(y * jnp.sin(y))
+        return f
+
+    l_ref, g_ref = jax.value_and_grad(loss(plain))(vs, x)
+    l_got, g_got = jax.jit(jax.value_and_grad(loss(routed)))(vs, x)
+    np.testing.assert_allclose(float(l_got), float(l_ref), rtol=1e-6)
+    for got, want in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-5)
+
+
+def test_trainer_data_only_mesh_keeps_pallas_route():
+    """A data-parallel-only mesh with pallas_train on wires spatial_mesh into
+    the model (so training keeps the Pallas kernels per shard on TPU) and the
+    sharded step matches the single-device step."""
+    import numpy as np
+
+    from hyperpri_tpu.config import ExpHyperspectralPRI
+    from hyperpri_tpu.train.trainer import Trainer, create_train_state
+
+    def tiny(mesh_shape):
+        cfg = ExpHyperspectralPRI(calling_path=".")
+        cfg.hsi_lo, cfg.hsi_hi = 0, 8
+        cfg.channels = 8
+        cfg.cube_featmaps = 8
+        cfg.pallas_train = True
+        cfg.mesh_shape = mesh_shape
+        return cfg
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": rng.normal(size=(8, 16, 16, 8)).astype(np.float32),
+        "mask": (rng.uniform(size=(8, 16, 16, 1)) < 0.3).astype(np.float32),
+        "valid": np.ones((8,), np.float32),
+    }
+
+    cfg1 = tiny(None)
+    tr1 = Trainer(cfg1, mesh=None)
+    s1 = create_train_state(cfg1, tr1.model, batch["image"][:1], seed=0)
+    tr1._compile_steps(s1)
+    s1, logs1 = tr1._train_step(s1, batch)
+
+    cfg2 = tiny({"data": 8})
+    tr2 = Trainer(cfg2)
+    assert tr2.mesh.shape == {"data": 8, "spatial": 1}
+    assert tr2.model.spatial_mesh is tr2.mesh
+    s2 = create_train_state(cfg2, tr2.model, batch["image"][:1], seed=0)
+    s2 = tr2._place_state(s2)
+    tr2._compile_steps(s2)
+    sh = tr2._batch_shardings()
+    b = {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
+    s2, logs2 = tr2._train_step(s2, b)
+
+    l1 = float(logs1["loss_sum"]) / float(logs1["n"])
+    l2 = float(logs2["loss_sum"]) / float(logs2["n"])
+    assert abs(l1 - l2) < 2e-5
+
+
 def test_trainer_spatial_mesh_model_clone():
     """Trainer under a spatial mesh clones the model with spatial_mesh set;
     a sharded train step still runs and produces a finite loss."""
