@@ -28,7 +28,14 @@ import os as _os
 # cuts trainer/eval startup from ~7 min to seconds on warm starts. Opt out
 # with HYPERPRI_NO_COMPILE_CACHE=1. Set via env (works before OR after
 # `import jax` as long as no backend is initialized yet).
-if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE"):
+#
+# The cache is TPU-only: XLA:CPU cache entries are AOT machine code whose
+# embedded CPU-feature set (AMX/AVX512 variants) follows the machine that
+# compiled them — loading them on a different host warns "could lead to
+# execution errors such as SIGILL". CPU runs (the test suite and the
+# multichip dryrun force JAX_PLATFORMS=cpu) compile fast and skip the cache.
+_forced_cpu = "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower()
+if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE") and not _forced_cpu:
     _os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "hyperpri_tpu_xla"),
@@ -76,7 +83,7 @@ def _sweep_compile_cache(limit_bytes: int = 4 << 30) -> None:
         pass
 
 
-if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE"):
+if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE") and not _forced_cpu:
     _sweep_compile_cache()
 
 from hyperpri_tpu.models import UNet, SpectralUNET, CubeNET, initialize_model
