@@ -21,11 +21,17 @@ _lib_checked = False
 
 
 def _find_library() -> Optional[str]:
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(pkg_dir)
     candidates = [
-        os.path.join(here, "runtime", "build", "libhyperpri_io.so"),
         os.environ.get("HYPERPRI_IO_LIB", ""),
+        os.path.join(repo, "runtime", "build", "libhyperpri_io.so"),
     ]
+    # pip-installed builds place the library inside the package as
+    # hyperpri_tpu/_libhyperpri_io.*.so (setup.py OptionalBuildExt).
+    import glob
+
+    candidates += sorted(glob.glob(os.path.join(pkg_dir, "_libhyperpri_io*.so")))
     for c in candidates:
         if c and os.path.exists(c):
             return c
