@@ -19,6 +19,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -196,7 +197,14 @@ class Conv3x3(nn.Module):
         # (first conv 7.2 vs 10.9 ms) but measured SLOWER composed into the
         # batch-1 serving graph (38.7 vs 60.0 cubes/s whole-model) — XLA's
         # pure-forward fusion is its best case. See BENCHMARKS.md.
-        use_packed_eval = False
+        # HYPERPRI_PACKED_EVAL_MIN_C (experiment knob): route eval convs with
+        # c >= the given threshold through the packed kernel (200 isolates the
+        # 238-band first conv).
+        _min_c = int(os.environ.get("HYPERPRI_PACKED_EVAL_MIN_C", "0"))
+        use_packed_eval = (
+            _min_c > 0 and not train and on_tpu and c >= _min_c
+            and self.features <= 64 and self.spatial_mesh is None
+        )
         x = x.astype(self.dtype)
         if self.spatial_mesh is not None and shape_ok and (
             x.shape[1] % self.spatial_mesh.shape["spatial"] == 0

@@ -50,6 +50,7 @@ def main():
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={args.devices}"
         ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"  # also gates the compile cache off
     import jax
 
     jax.config.update("jax_platforms", "cpu")

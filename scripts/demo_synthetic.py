@@ -31,6 +31,9 @@ def main():
     args = p.parse_args()
 
     if args.cpu:
+        # Env var too: the persistent-compile-cache gate (hyperpri_tpu
+        # __init__) reads JAX_PLATFORMS to skip host-specific CPU AOT entries.
+        os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")

@@ -38,6 +38,7 @@ def main():
     args = p.parse_args()
 
     if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"  # also gates the compile cache off
         import jax
 
         jax.config.update("jax_platforms", "cpu")
