@@ -23,22 +23,42 @@ __version__ = "0.1.0"
 
 import os as _os
 
+def _machine_key() -> str:
+    """Host-CPU fingerprint the compile cache is keyed by.
+
+    XLA:CPU cache entries are AOT machine code; their embedded CPU-feature
+    set (AMX/AVX512 variants) follows the machine that compiled them, and
+    loading them on a host with a different feature set logs "could lead to
+    execution errors such as SIGILL". Keying the cache directory by the
+    host's feature flags makes entries load only where they were compiled —
+    same-host reruns (the common case) stay warm, a new host starts cold
+    instead of loading foreign AOT code."""
+    import hashlib
+    import platform
+
+    sig = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    sig += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(sig.encode()).hexdigest()[:12]
+
+
 # Persistent XLA compilation cache: full-model TPU compiles run minutes
 # (remote Mosaic kernel compiles included); caching them across processes
 # cuts trainer/eval startup from ~7 min to seconds on warm starts. Opt out
 # with HYPERPRI_NO_COMPILE_CACHE=1. Set via env (works before OR after
 # `import jax` as long as no backend is initialized yet).
-#
-# The cache is TPU-only: XLA:CPU cache entries are AOT machine code whose
-# embedded CPU-feature set (AMX/AVX512 variants) follows the machine that
-# compiled them — loading them on a different host warns "could lead to
-# execution errors such as SIGILL". CPU runs (the test suite and the
-# multichip dryrun force JAX_PLATFORMS=cpu) compile fast and skip the cache.
-_forced_cpu = "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower()
-if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE") and not _forced_cpu:
+if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE"):
     _os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "hyperpri_tpu_xla"),
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", "hyperpri_tpu_xla", _machine_key()
+        ),
     )
     _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     try:  # if jax is already imported, mirror into the live config
@@ -83,7 +103,7 @@ def _sweep_compile_cache(limit_bytes: int = 4 << 30) -> None:
         pass
 
 
-if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE") and not _forced_cpu:
+if not _os.environ.get("HYPERPRI_NO_COMPILE_CACHE"):
     _sweep_compile_cache()
 
 from hyperpri_tpu.models import UNet, SpectralUNET, CubeNET, initialize_model

@@ -34,8 +34,9 @@ def main():
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--spectral-crop", type=int, default=None,
                    help="override W for SpectralUNET (reference uses 700)")
-    p.add_argument("--pallas-train", action="store_true",
-                   help="route full-res convs through the trainable Pallas kernels")
+    p.add_argument("--pallas-train", action=argparse.BooleanOptionalAction, default=None,
+                   help="route full-res convs through the trainable Pallas kernels "
+                        "(default: the config default — on for single-chip TPU)")
     p.add_argument("--shard-map", action="store_true",
                    help="wrap the gated convs in the shard_map mesh route on a "
                         "trivial 1-device mesh (measures the multi-chip path's "
@@ -56,7 +57,8 @@ def main():
         cfg.model_name = args.model
         channels = cfg.channels
     cfg.precision = args.precision
-    cfg.pallas_train = args.pallas_train
+    if args.pallas_train is not None:
+        cfg.pallas_train = args.pallas_train
     if args.model == "SpectralUNET":
         # full-res SpectralUNET needs remat + (reference protocol) a W crop;
         # single-chip also needs batch 1 (the reference needed 2 GPUs under

@@ -28,7 +28,7 @@ def main():
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--infer", action="store_true", help="trace inference instead")
-    p.add_argument("--pallas-train", action="store_true")
+    p.add_argument("--pallas-train", action=argparse.BooleanOptionalAction, default=None)
     p.add_argument("--out", default=None, help="save full hlo_stats CSV here")
     args = p.parse_args()
 
@@ -42,7 +42,8 @@ def main():
     cfg = ExpHyperspectralPRI(calling_path=".")
     cfg.model_name = "CubeNET"
     cfg.precision = "bf16"
-    cfg.pallas_train = args.pallas_train
+    if args.pallas_train is not None:
+        cfg.pallas_train = args.pallas_train
     channels = cfg.channels
     model = cfg.get_network()
     state = create_train_state(cfg, model, np.zeros((1, 64, 64, channels), np.float32), seed=0)
