@@ -14,7 +14,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Collective rendezvous on virtual CPU devices hard-aborts the process
+# (F-level check) if the 8 device threads don't all reach a collective
+# within 40s — observed on a loaded single-core host. Raise the timeouts:
+# correctness tests don't care about collective latency.
+if "collective" not in flags:
+    flags += (
+        " --xla_cpu_collective_timeout_seconds=600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
