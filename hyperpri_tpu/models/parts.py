@@ -52,12 +52,19 @@ class TorchBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, *, use_running_average: bool, precomputed=None
-    ) -> jnp.ndarray:
+        self, x: jnp.ndarray, *, use_running_average: bool, precomputed=None,
+        affine_only: bool = False,
+    ):
         """precomputed: optional (sum, sumsq) per-channel f32 pair over
         N,H,W — batch statistics already reduced inside the producing Pallas
         conv's epilogue (ops/pallas/conv_train.py), skipping the separate
-        full-resolution reduction pass here."""
+        full-resolution reduction pass here.
+
+        affine_only: update the running statistics but return the folded
+        per-channel (A, B) f32 pair with y = A*x + B instead of applying the
+        normalization — the consumer fuses the apply (+ ReLU) into its own
+        Pallas conv prologue (ops/pallas/conv_train.conv3x3_bnact_stats_train)
+        and x never takes the elementwise round trip through HBM."""
         feats = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (feats,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (feats,), jnp.float32)
@@ -85,6 +92,9 @@ class TorchBatchNorm(nn.Module):
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
 
+        if affine_only:
+            a = scale * jax.lax.rsqrt(var + self.epsilon)
+            return a, bias - mean * a
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         return y
 
@@ -165,11 +175,18 @@ class Conv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, collect_stats: bool = False, train: bool = False):
+    def __call__(self, x: jnp.ndarray, collect_stats: bool = False, train: bool = False,
+                 prologue=None):
         """Returns (y, stats) where stats is a (sum, sumsq) f32 pair of
         per-channel BatchNorm batch statistics when `collect_stats` and the
         Pallas path is active (computed in the kernel epilogue), else None —
         the caller passes it to TorchBatchNorm(precomputed=...).
+
+        prologue: optional per-input-channel (A, B) f32 pair; the conv then
+        computes conv(relu(A*x + B), w) + b — the previous BatchNorm-apply +
+        ReLU fused into this conv's Pallas input load (DoubleConv wires it).
+        Routes that can't fuse it apply the affine in XLA first (identical
+        numerics, one extra elementwise pass).
 
         Routing (measured, scripts/bench_conv_kernels.py on v5e):
           - train: all gated full-res shapes -> Pallas (XLA's training-graph
@@ -206,6 +223,14 @@ class Conv3x3(nn.Module):
             and self.features <= 64 and self.spatial_mesh is None
         )
         x = x.astype(self.dtype)
+        fuse_prologue = (
+            prologue is not None and use_pallas and collect_stats
+        )
+        if prologue is not None and not fuse_prologue:
+            # Fallback: apply the BN-affine + ReLU here (same math the fused
+            # kernel prologue would compute; one XLA elementwise pass).
+            pa, pb = prologue
+            x = jnp.maximum(x.astype(jnp.float32) * pa + pb, 0.0).astype(self.dtype)
         if self.spatial_mesh is not None and shape_ok and (
             x.shape[1] % self.spatial_mesh.shape["spatial"] == 0
             # shard_map needs equal shards on every mapped axis; batch-1
@@ -234,8 +259,15 @@ class Conv3x3(nn.Module):
             from hyperpri_tpu.ops.pallas.conv_train import (
                 conv3x3_bias_stats_train,
                 conv3x3_bias_train,
+                conv3x3_bnact_stats_train,
             )
 
+            if fuse_prologue:
+                pa, pb = prologue
+                y, s, ss = conv3x3_bnact_stats_train(
+                    x, pa, pb, kernel.astype(self.dtype), bias.astype(jnp.float32)
+                )
+                return y, (s, ss)
             if collect_stats:
                 y, s, ss = conv3x3_bias_stats_train(
                     x, kernel.astype(self.dtype), bias.astype(jnp.float32)
@@ -472,16 +504,27 @@ class DoubleConv(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x, collect_stats=want_stats, train=train)
+        prologue = None
         if not self.fused_bn:
-            x = TorchBatchNorm(name="bn1")(x, use_running_average=not train, precomputed=st)
-        x = nn.relu(x).astype(self.dtype)
+            bn1 = TorchBatchNorm(name="bn1")
+            if st is not None and train:
+                # conv1 took the Pallas route (stats came from its epilogue):
+                # fold bn1-apply + ReLU into conv2's kernel prologue — the
+                # activated mid tensor never takes an HBM round trip.
+                prologue = bn1(
+                    x, use_running_average=False, precomputed=st, affine_only=True
+                )
+            else:
+                x = bn1(x, use_running_average=not train, precomputed=st)
+        if prologue is None:
+            x = nn.relu(x).astype(self.dtype)
         x, st = Conv3x3(
             self.out_channels,
             pallas_train=self.pallas_train,
             spatial_mesh=self.spatial_mesh,
             dtype=self.dtype,
             name="conv2",
-        )(x, collect_stats=want_stats, train=train)
+        )(x, collect_stats=want_stats, train=train, prologue=prologue)
         if not self.fused_bn:
             x = TorchBatchNorm(name="bn2")(x, use_running_average=not train, precomputed=st)
         return nn.relu(x).astype(self.dtype)

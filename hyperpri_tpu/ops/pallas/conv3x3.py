@@ -47,12 +47,30 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _conv_kernel(*refs, th: int, wo: int, relu: bool, n_chunks: int,
-                 stats_hw=None):
-    if stats_hw is None:
-        x_ref, w_ref, b_ref, o_ref, acc_ref = refs
-        s_ref = None
-    else:
-        x_ref, w_ref, b_ref, o_ref, s_ref, acc_ref = refs
+                 stats_hw=None, pro_hw=None):
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    w_ref = refs.pop(0)
+    b_ref = refs.pop(0)
+    pa_ref = refs.pop(0) if pro_hw is not None else None
+    pb_ref = refs.pop(0) if pro_hw is not None else None
+    o_ref = refs.pop(0)
+    s_ref = refs.pop(0) if stats_hw is not None else None
+    acc_ref = refs.pop(0)
+    z_ref = refs.pop(0) if pro_hw is not None else None
+
+    if pro_hw is not None:
+        # BN-affine + ReLU prologue (see conv3x3_packed._kernel): the input
+        # is the producing conv's RAW output; z = relu(pa*x + pb) per input
+        # channel, masked back to exact zeros on the padding border.
+        h, w = pro_hw
+        i = pl.program_id(1)
+        wb = x_ref.shape[2]
+        row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wb, 1), 0) + i * th
+        col = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wb, 1), 1)
+        valid = (row >= 1) & (row <= h) & (col >= 1) & (col <= w)
+        zf = x_ref[0].astype(jnp.float32) * pa_ref[0, :] + pb_ref[0, :]
+        z_ref[...] = jnp.where(valid, jnp.maximum(zf, 0.0), 0.0).astype(z_ref.dtype)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     # channels processed in 128-lane chunks via static in-VMEM slices (the
@@ -61,7 +79,10 @@ def _conv_kernel(*refs, th: int, wo: int, relu: bool, n_chunks: int,
     for k in range(n_chunks):
         for dh in range(3):
             for dw in range(3):
-                xs = x_ref[0, dh : dh + th, dw : dw + wo, k * LANE : (k + 1) * LANE]
+                if z_ref is not None:
+                    xs = z_ref[dh : dh + th, dw : dw + wo, k * LANE : (k + 1) * LANE]
+                else:
+                    xs = x_ref[0, dh : dh + th, dw : dw + wo, k * LANE : (k + 1) * LANE]
                 xs2 = xs.reshape(th * wo, LANE)
                 acc_ref[...] += jax.lax.dot_general(
                     xs2,
@@ -105,6 +126,8 @@ def conv3x3_bias_act(
     x: jnp.ndarray,
     w: jnp.ndarray,
     b: jnp.ndarray,
+    pa: Optional[jnp.ndarray] = None,
+    pb: Optional[jnp.ndarray] = None,
     *,
     relu: bool = True,
     th: int = 16,
@@ -113,7 +136,13 @@ def conv3x3_bias_act(
     with_stats: bool = False,
     interpret: bool = False,
 ):
-    """y = act(conv3x3_same(x, w) + b) with (N, H, W, C) x, (3, 3, C, O) w.
+    """y = act(conv3x3_same(act_in(x), w) + b) with (N, H, W, C) x,
+    (3, 3, C, O) w.
+
+    pa/pb: optional (C,) float32 per-input-channel affine; when given the
+    kernel computes act_in(x) = relu(pa*x + pb) in VMEM on the loaded halo
+    window (masked to zero on the padding border) — the BatchNorm-apply +
+    ReLU between two convs fused into the consumer's load. Else identity.
 
     with_stats (requires relu=False): additionally returns a f32 (2, O)
     array [per-channel sum; per-channel sum of squares] of y over N,H,W —
@@ -122,6 +151,7 @@ def conv3x3_bias_act(
     kh, kw, wc, o = w.shape
     assert (kh, kw) == (3, 3) and wc == c, (w.shape, x.shape)
     out_dtype = out_dtype or x.dtype
+    prologue = pa is not None
     th = min(th, _round_up(h, 8))
 
     wo = _round_up(width, 8)       # output/compute width
@@ -139,7 +169,8 @@ def conv3x3_bias_act(
         w_b = 2 * 9 * cp * to * w.dtype.itemsize
         o_b = 2 * th_ * wo * to * jnp.dtype(out_dtype).itemsize
         acc = th_ * wo * to * 4
-        return x_b + w_b + o_b + acc
+        z_b = (th_ + 2) * wb * cp * esz if prologue else 0
+        return x_b + w_b + o_b + acc + z_b
 
     while th > 4 and vmem_bytes(th) > 12 * 1024 * 1024:
         th //= 2
@@ -165,6 +196,7 @@ def conv3x3_bias_act(
         relu=relu,
         n_chunks=n_chunks,
         stats_hw=(h, width) if with_stats else None,
+        pro_hw=(h, width) if prologue else None,
     )
     flops = 2 * n * h * width * c * o * 9
 
@@ -173,6 +205,18 @@ def conv3x3_bias_act(
         lambda bn, i, j: (bn, i * th, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((3, 3, cp, to), lambda bn, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, to), lambda bn, i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [xp, wp, bp]
+    if prologue:
+        pap = jnp.broadcast_to(jnp.pad(pa.astype(jnp.float32), (0, cp - c)), (8, cp))
+        pbp = jnp.broadcast_to(jnp.pad(pb.astype(jnp.float32), (0, cp - c)), (8, cp))
+        cspec = pl.BlockSpec((8, cp), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM)
+        in_specs += [cspec, cspec]
+        operands += [pap, pbp]
     out_specs = pl.BlockSpec(
         (1, th, wo, to), lambda bn, i, j: (bn, i, 0, j), memory_space=pltpu.VMEM
     )
@@ -183,22 +227,21 @@ def conv3x3_bias_act(
             pl.BlockSpec((8, to), lambda bn, i, j: (0, j), memory_space=pltpu.VMEM),
         )
         out_shape = (out_shape, jax.ShapeDtypeStruct((8, op), jnp.float32))
+    scratch_shapes = [pltpu.VMEM((th * wo, to), jnp.float32)]
+    if prologue:
+        scratch_shapes.append(pltpu.VMEM((th + 2, wb, cp), x.dtype))
     result = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((3, 3, cp, to), lambda bn, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, to), lambda bn, i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((th * wo, to), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * x.dtype.itemsize * 2, transcendentals=0
         ),
         interpret=interpret,
-    )(xp, wp, bp)
+    )(*operands)
     if with_stats:
         out, stats = result
         return out[:, :h, :width, :o], stats[:2, :o]

@@ -35,8 +35,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int):
-    x_ref, g_ref, o_ref = refs
+def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
+                  prologue: bool = False):
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    g_ref = refs.pop(0)
+    pa_ref = refs.pop(0) if prologue else None
+    pb_ref = refs.pop(0) if prologue else None
+    o_ref = refs.pop(0)
+    z_ref = refs.pop(0) if prologue else None
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
@@ -44,12 +51,23 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int):
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
+    i = pl.program_id(1)
+    if prologue:
+        # Same BN-affine + ReLU input prologue as the forward kernels
+        # (conv3x3_packed._kernel): x is the producing conv's RAW output;
+        # z = relu(pa*x + pb), masked back to exact zeros on the padding
+        # border so dW matches the forward's activated input.
+        prow = jax.lax.broadcasted_iota(jnp.int32, (th + 2, x_ref.shape[2], 1), 0) + i * th
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (th + 2, x_ref.shape[2], 1), 1)
+        pvalid = (prow >= 1) & (prow <= h) & (pcol >= 1) & (pcol <= w)
+        zf = x_ref[0].astype(jnp.float32) * pa_ref[0, :] + pb_ref[0, :]
+        z_ref[...] = jnp.where(pvalid, jnp.maximum(zf, 0.0), 0.0).astype(z_ref.dtype)
+
     # g is read RAW (no HBM pad pass): its Element windows clamp at the H
     # tail and the array may be narrower than wo, so zero the out-of-range
     # rows/cols here (one VPU select per block — the HBM pad copies this
     # replaces measured 1.3 ms each at full resolution). Mask before the
     # flatten: Mosaic cannot shape-cast an i1 vector.
-    i = pl.program_id(1)
     row = jax.lax.broadcasted_iota(jnp.int32, (th, wo, 1), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (th, wo, 1), 1)
     valid = jnp.logical_and(row < h - i * th, col < w)
@@ -57,7 +75,10 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int):
     for k in range(n_chunks):
         for dh in range(3):
             for dw in range(3):
-                xs = x_ref[0, dh : dh + th, dw : dw + wo, k * LANE : (k + 1) * LANE]
+                if z_ref is not None:
+                    xs = z_ref[dh : dh + th, dw : dw + wo, k * LANE : (k + 1) * LANE]
+                else:
+                    xs = x_ref[0, dh : dh + th, dw : dw + wo, k * LANE : (k + 1) * LANE]
                 xs2 = xs.reshape(th * wo, LANE)
                 # (C, THW) x (THW, O): contract over the pixel axis
                 o_ref[dh, dw, k * LANE : (k + 1) * LANE, :] += jax.lax.dot_general(
@@ -72,14 +93,22 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int):
 def conv3x3_wgrad(
     x: jnp.ndarray,
     g: jnp.ndarray,
+    pa: Optional[jnp.ndarray] = None,
+    pb: Optional[jnp.ndarray] = None,
     *,
     th: int = 16,
     pad_w_to: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """dW (3, 3, C, O) f32 for y = conv3x3_same(x, w), given cotangent g.
+    """dW (3, 3, C, O) f32 for y = conv3x3_same(act_in(x), w), given
+    cotangent g.
 
     x: (N, H, W, C); g: (N, H, W, O).
+
+    pa/pb: optional (C,) float32 per-input-channel affine; when given,
+    act_in(x) = relu(pa*x + pb) is recomputed in VMEM on each loaded block
+    (matching the forward kernels' prologue) instead of reading a
+    materialized activation from HBM.
 
     pad_w_to: total padded input width (left border + W + right zeros) to
     use instead of the minimal round_up(W,8)+8. Passing the packed forward
@@ -102,12 +131,15 @@ def conv3x3_wgrad(
     op = _round_up(o, 8)
     n_chunks = cp // LANE
 
+    prologue = pa is not None
+
     def vmem_bytes(th_):
         esz = x.dtype.itemsize
         x_b = 2 * (th_ + 2) * wb * cp * esz
         g_b = 2 * th_ * wo * op * g.dtype.itemsize
         o_b = 9 * cp * op * 4
-        return x_b + g_b + o_b
+        z_b = (th_ + 2) * wb * cp * esz if prologue else 0
+        return x_b + g_b + o_b + z_b
 
     while th > 4 and vmem_bytes(th) > 12 * 1024 * 1024:
         th //= 2
@@ -131,7 +163,8 @@ def conv3x3_wgrad(
 
     grid = (n, n_h_blocks)
     kernel = functools.partial(
-        _wgrad_kernel, th=th, wo=wo, h=h, w=width, n_chunks=n_chunks
+        _wgrad_kernel, th=th, wo=wo, h=h, w=width, n_chunks=n_chunks,
+        prologue=prologue,
     )
     flops = 2 * n * h * width * c * o * 9
 
@@ -145,19 +178,30 @@ def conv3x3_wgrad(
         lambda bn, i: (bn, i * th, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    in_specs = [x_spec, g_spec]
+    operands = [xp, gp]
+    scratch_shapes = []
+    if prologue:
+        pap = jnp.broadcast_to(jnp.pad(pa.astype(jnp.float32), (0, cp - c)), (8, cp))
+        pbp = jnp.broadcast_to(jnp.pad(pb.astype(jnp.float32), (0, cp - c)), (8, cp))
+        cspec = pl.BlockSpec((8, cp), lambda bn, i: (0, 0), memory_space=pltpu.VMEM)
+        in_specs += [cspec, cspec]
+        operands += [pap, pbp]
+        scratch_shapes.append(pltpu.VMEM((th + 2, wb, cp), x.dtype))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[x_spec, g_spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (3, 3, cp, op), lambda bn, i: (0, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((3, 3, cp, op), jnp.float32),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x.size * x.dtype.itemsize + g.size * g.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xp, gp)
+    )(*operands)
     return out[:, :, :c, :o]

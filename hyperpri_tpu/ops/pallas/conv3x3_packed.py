@@ -47,11 +47,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def fit_tiles(h, width, c, o, in_dtype, out_dtype, th=8, tw=None, lane_stride=64):
+def fit_tiles(h, width, c, o, in_dtype, out_dtype, th=8, tw=None, lane_stride=64,
+              prologue=False):
     """(th, tw) auto-fit to the scoped-VMEM budget. twb = tw + 8: the 2-col
     halo rounded up to a whole sublane tile (windows overlap by 8). Exposed
     so callers (conv_train) can reproduce the pad geometry and share the
-    padded input with the wgrad kernel."""
+    padded input with the wgrad kernel. `prologue` accounts for the
+    BN-affine+ReLU input-activation scratch (see conv3x3_packed)."""
     cp = _round_up(c, LANE)
     op = _round_up(o, 8)
     ls = lane_stride
@@ -65,7 +67,8 @@ def fit_tiles(h, width, c, o, in_dtype, out_dtype, th=8, tw=None, lane_stride=64
         p_b = th_ * twb_ * 3 * ls * 4
         a_b = th_ * tw_ * ls * 4
         o_b = 2 * th_ * tw_ * op * jnp.dtype(out_dtype).itemsize
-        return x_b + w_b + p_b + a_b + o_b
+        z_b = (th_ + 2) * twb_ * cp * esz if prologue else 0
+        return x_b + w_b + p_b + a_b + o_b + z_b
 
     if tw is None:
         tw = _round_up(width, 8)
@@ -76,22 +79,50 @@ def fit_tiles(h, width, c, o, in_dtype, out_dtype, th=8, tw=None, lane_stride=64
     return th, tw
 
 
-def padded_width(width, h, c, o, in_dtype, out_dtype, lane_stride=64):
+def padded_width(width, h, c, o, in_dtype, out_dtype, lane_stride=64,
+                 prologue=False):
     """Total padded W (left border + W + right) the packed kernel DMAs."""
-    th, tw = fit_tiles(h, width, c, o, in_dtype, out_dtype, lane_stride=lane_stride)
+    th, tw = fit_tiles(h, width, c, o, in_dtype, out_dtype, lane_stride=lane_stride,
+                       prologue=prologue)
     n_w = -(-width // tw)
     return 1 + width + ((n_w - 1) * tw + (tw + 8) - 1 - width)
 
 
-def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None):
-    if stats_hw is None:
-        x_ref, w_ref, b_ref, o_ref, p_ref, acc_ref = refs
-        s_ref = None
-    else:
-        x_ref, w_ref, b_ref, o_ref, s_ref, p_ref, acc_ref = refs
+def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None):
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    w_ref = refs.pop(0)
+    b_ref = refs.pop(0)
+    pa_ref = refs.pop(0) if pro_hw is not None else None
+    pb_ref = refs.pop(0) if pro_hw is not None else None
+    o_ref = refs.pop(0)
+    s_ref = refs.pop(0) if stats_hw is not None else None
+    p_ref = refs.pop(0)
+    acc_ref = refs.pop(0)
+    z_ref = refs.pop(0) if pro_hw is not None else None
     cp = x_ref.shape[-1]
+
+    if pro_hw is not None:
+        # BN-affine + ReLU prologue: the input is the producing conv's RAW
+        # output (padded with zeros); apply z = relu(a*x + b) per channel in
+        # VMEM, masking the SAME border / alignment padding back to exact
+        # zeros (relu(b) would otherwise leak into the halo). One pass over
+        # the (th+2, twb) window before the tap loop.
+        h, w = pro_hw
+        i, j = pl.program_id(1), pl.program_id(2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, twb, 1), 0) + i * th
+        col = jax.lax.broadcasted_iota(jnp.int32, (th + 2, twb, 1), 1) + j * tw
+        valid = (row >= 1) & (row <= h) & (col >= 1) & (col <= w)
+        zf = x_ref[0].astype(jnp.float32) * pa_ref[0, :] + pb_ref[0, :]
+        z_ref[...] = jnp.where(valid, jnp.maximum(zf, 0.0), 0.0).astype(z_ref.dtype)
+
+    def x_window(dh):
+        if z_ref is not None:
+            return z_ref[dh : dh + th, 0:twb, :]
+        return x_ref[0, dh : dh + th, 0:twb, :]
+
     for dh in range(3):
-        x2 = x_ref[0, dh : dh + th, 0:twb, :].reshape(th * twb, cp)
+        x2 = x_window(dh).reshape(th * twb, cp)
         p_ref[...] = jax.lax.dot_general(
             x2,
             w_ref[dh],
@@ -144,6 +175,8 @@ def conv3x3_packed(
     x: jnp.ndarray,
     w: jnp.ndarray,
     b: jnp.ndarray,
+    pa: Optional[jnp.ndarray] = None,
+    pb: Optional[jnp.ndarray] = None,
     *,
     relu: bool = True,
     th: int = 8,
@@ -153,7 +186,14 @@ def conv3x3_packed(
     with_stats: bool = False,
     interpret: bool = False,
 ):
-    """y = act(conv3x3_same(x, w) + b); (N,H,W,C) x, (3,3,C,O) w, O <= 128.
+    """y = act(conv3x3_same(act_in(x), w) + b); (N,H,W,C) x, (3,3,C,O) w,
+    O <= 128.
+
+    pa/pb: optional (C,) float32 per-input-channel affine — the kernel
+    computes act_in(x) = relu(pa*x + pb) in VMEM on each loaded window
+    (masked back to zero on the padding border), fusing the BatchNorm-apply
+    + ReLU between two convs into the consumer's load. Without them,
+    act_in = identity.
 
     lane_stride: packing stride of the three dw taps in the fat dot's N dim
     (>= O, multiple of 8). 64 halves the P scratch and the MXU N-passes for
@@ -164,6 +204,7 @@ def conv3x3_packed(
     assert (kh, kw) == (3, 3) and wc == c, (w.shape, x.shape)
     assert o <= LANE, f"packed kernel requires O <= {LANE}, got {o}"
     out_dtype = out_dtype or x.dtype
+    prologue = pa is not None
 
     cp = _round_up(c, LANE)
     op = _round_up(o, 8)
@@ -172,7 +213,7 @@ def conv3x3_packed(
     th = min(th, _round_up(h, 8))
 
     th, tw = fit_tiles(h, width, c, o, x.dtype, out_dtype,
-                       th=th, tw=tw, lane_stride=ls)
+                       th=th, tw=tw, lane_stride=ls, prologue=prologue)
     twb = tw + 8
 
     n_h = pl.cdiv(h, th)
@@ -194,21 +235,39 @@ def conv3x3_packed(
     kernel = functools.partial(
         _kernel, th=th, tw=tw, twb=twb, relu=relu, op=op, ls=ls,
         stats_hw=(h, width) if with_stats else None,
+        pro_hw=(h, width) if prologue else None,
     )
     flops = 2 * n * h * width * c * o * 9
+
+    in_specs = [
+        pl.BlockSpec(
+            (Element(1), Element(th + 2), Element(twb), Element(cp)),
+            lambda bn, i, j: (bn, i * th, j * tw, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((3, cp, 3 * ls), lambda bn, i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, ls), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xp, wp, bp]
+    if prologue:
+        # Per-input-channel affine as (8, cp) 2-D tiles (same trick as bias:
+        # dynamic 1-D slices cannot be alignment-proven).
+        pap = jnp.broadcast_to(jnp.pad(pa.astype(jnp.float32), (0, cp - c)), (8, cp))
+        pbp = jnp.broadcast_to(jnp.pad(pb.astype(jnp.float32), (0, cp - c)), (8, cp))
+        cspec = pl.BlockSpec((8, cp), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM)
+        in_specs += [cspec, cspec]
+        operands += [pap, pbp]
+    scratch_shapes = [
+        pltpu.VMEM((th, twb, 3 * ls), jnp.float32),
+        pltpu.VMEM((th, tw, ls), jnp.float32),
+    ]
+    if prologue:
+        scratch_shapes.append(pltpu.VMEM((th + 2, twb, cp), x.dtype))
 
     result = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (Element(1), Element(th + 2), Element(twb), Element(cp)),
-                lambda bn, i, j: (bn, i * th, j * tw, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((3, cp, 3 * ls), lambda bn, i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, ls), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (1, th, tw, op), lambda bn, i, j: (bn, i, j, 0), memory_space=pltpu.VMEM
@@ -225,15 +284,12 @@ def conv3x3_packed(
         )
         if with_stats
         else jax.ShapeDtypeStruct((n, n_h * th, n_w * tw, op), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th, twb, 3 * ls), jnp.float32),
-            pltpu.VMEM((th, tw, ls), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * x.dtype.itemsize * 2, transcendentals=0
         ),
         interpret=interpret,
-    )(xp, wp, bp)
+    )(*operands)
     if with_stats:
         out, stats = result
         return out[:, :h, :width, :o], stats[:2, :o]

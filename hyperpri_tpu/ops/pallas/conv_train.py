@@ -38,26 +38,27 @@ from hyperpri_tpu.ops.pallas.conv3x3_packed import conv3x3_packed, padded_width
 _PACKED_LS = 64
 
 
-def _conv_route(x, w, b, *, relu, with_stats=False, interpret=False):
+def _conv_route(x, w, b, pa=None, pb=None, *, relu, with_stats=False,
+                interpret=False):
     """One 3x3 SAME conv, routed to the best measured kernel for its output
     width (scripts/bench_conv_kernels.py on v5e): O <= 64 -> tap-packed
     fat-N dots (conv3x3_packed, lane stride 64; 238->64 7.2 vs 9.2 ms halo,
     128->64 3.9 vs 4.5); wider -> the halo kernel's Cout-tiled shifted dots
     (conv3x3_bias_act; at O=128 mid-res shapes it beats packed 0.72 vs
-    0.80 ms)."""
+    0.80 ms). pa/pb: optional per-input-channel BN-affine+ReLU prologue."""
     o = w.shape[-1]
     if o <= _PACKED_LS:
         return conv3x3_packed(
-            x, w, b, relu=relu, out_dtype=x.dtype, lane_stride=_PACKED_LS,
+            x, w, b, pa, pb, relu=relu, out_dtype=x.dtype, lane_stride=_PACKED_LS,
             with_stats=with_stats, interpret=interpret,
         )
     return conv3x3_bias_act(
-        x, w, b, relu=relu, out_dtype=x.dtype, with_stats=with_stats,
+        x, w, b, pa, pb, relu=relu, out_dtype=x.dtype, with_stats=with_stats,
         interpret=interpret,
     )
 
 
-def _wgrad(x, g, o, interpret):
+def _wgrad(x, g, o, interpret, pa=None, pb=None):
     """dW with the input pad geometry matched to the packed forward's (so
     XLA CSEs the two full-res pads) whenever the forward took the packed
     route."""
@@ -65,9 +66,9 @@ def _wgrad(x, g, o, interpret):
     if o <= _PACKED_LS:
         pad_w = padded_width(
             x.shape[2], x.shape[1], x.shape[3], o, x.dtype, x.dtype,
-            lane_stride=_PACKED_LS,
+            lane_stride=_PACKED_LS, prologue=pa is not None,
         )
-    return conv3x3_wgrad(x, g, pad_w_to=pad_w, interpret=interpret)
+    return conv3x3_wgrad(x, g, pa, pb, pad_w_to=pad_w, interpret=interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -137,3 +138,59 @@ def _stats_bwd(interpret, res, cotangents):
 
 
 conv3x3_bias_stats_train.defvjp(_stats_fwd, _stats_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def conv3x3_bnact_stats_train(x, pa, pb, w, b, interpret=False):
+    """Fused BN-apply + ReLU + conv + BN-stats, differentiable, Pallas on TPU:
+
+        z = relu(pa * x + pb)          (per-channel affine, in-kernel)
+        y = conv3x3_same(z, w) + b
+        returns (y, sum_c(y), sumsq_c(y))
+
+    This is the DoubleConv conv1->bn1->relu->conv2 boundary collapsed into
+    the conv2 kernel: the activated tensor z never exists in HBM (the
+    forward applies the affine on each loaded halo window; dW recomputes it
+    the same way). x is the RAW output of the producing conv; pa/pb are the
+    BatchNorm affine folded to per-channel scale/shift:
+        pa = gamma * rsqrt(var + eps),  pb = beta - mean * pa.
+    Reference behavior being fused: model_parts.py:14-31 (Conv->BN->ReLU)*2.
+    """
+    y, stats = _conv_route(
+        x, w, b, pa, pb, relu=False, with_stats=True, interpret=interpret
+    )
+    return y, stats[0], stats[1]
+
+
+def _bnact_fwd(x, pa, pb, w, b, interpret):
+    y, s, ss = conv3x3_bnact_stats_train(x, pa, pb, w, b, interpret)
+    return (y, s, ss), (x, pa, pb, w, y)
+
+
+def _bnact_bwd(interpret, res, cotangents):
+    x, pa, pb, w, y = res
+    gy, gsum, gsumsq = cotangents
+    g_eff = (
+        gy.astype(jnp.float32)
+        + gsum[None, None, None, :]
+        + 2.0 * y.astype(jnp.float32) * gsumsq[None, None, None, :]
+    ).astype(x.dtype)
+    # dz: adjoint conv of the effective output cotangent (Pallas kernel).
+    wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
+    dz = _conv_route(g_eff, wt, zero_bias, relu=False, interpret=interpret)
+    # Backward through z = relu(pa*x + pb): recompute the relu mask from the
+    # saved raw input (z itself was never materialized).
+    x32 = x.astype(jnp.float32)
+    dz32 = dz.astype(jnp.float32)
+    m = (x32 * pa + pb) > 0
+    mdz = jnp.where(m, dz32, 0.0)
+    dx = (mdz * pa).astype(x.dtype)
+    dpa = jnp.sum(mdz * x32, axis=(0, 1, 2))
+    dpb = jnp.sum(mdz, axis=(0, 1, 2))
+    dw = _wgrad(x, g_eff, w.shape[-1], interpret, pa, pb).astype(w.dtype)
+    db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dpa, dpb, dw, db
+
+
+conv3x3_bnact_stats_train.defvjp(_bnact_fwd, _bnact_bwd)

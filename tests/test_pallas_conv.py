@@ -152,3 +152,93 @@ def test_conv3x3_stats_train_grads(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3, err_msg=nm
         )
+
+
+# ---- fused BN-apply + ReLU prologue (conv3x3_bnact_stats_train) ----
+
+
+def _bnact_ref(x, pa, pb, w, b):
+    z = jnp.maximum(x.astype(jnp.float32) * pa + pb, 0.0).astype(x.dtype)
+    y = xla_conv(z, w, b, relu=False)
+    return y, jnp.sum(y, axis=(0, 1, 2)), jnp.sum(y * y, axis=(0, 1, 2))
+
+
+@pytest.mark.parametrize(
+    "n,h,w,c,o",
+    [
+        (2, 16, 24, 32, 16),   # packed route (O <= 64)
+        (1, 13, 21, 96, 64),   # packed, ragged spatial
+        (2, 12, 20, 64, 96),   # halo route (O > 64)
+        (1, 9, 17, 160, 128),  # halo, 2 input lane chunks
+    ],
+)
+def test_conv3x3_bnact_prologue(rng, n, h, w, c, o):
+    """Fused relu(pa*x+pb) input prologue: forward + all five gradients
+    (dx, dpa, dpb, dw, db) match autodiff of the unfused XLA ops, on both
+    kernel routes. The prologue masks the padding border back to exact
+    zeros (relu(pb) would otherwise leak into the halo)."""
+    from hyperpri_tpu.ops.pallas.conv_train import conv3x3_bnact_stats_train
+
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    pa = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    pb = jnp.asarray((rng.normal(size=(c,)) * 0.1).astype(np.float32))
+    wk = jnp.asarray((rng.normal(size=(3, 3, c, o)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
+
+    y1, s1, ss1 = conv3x3_bnact_stats_train(x, pa, pb, wk, b, True)
+    y2, s2, ss2 = _bnact_ref(x, pa, pb, wk, b)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ss1), np.asarray(ss2), rtol=1e-4)
+
+    def loss(args, fused):
+        x_, pa_, pb_, w_, b_ = args
+        if fused:
+            y, s, ss = conv3x3_bnact_stats_train(x_, pa_, pb_, w_, b_, True)
+        else:
+            y, s, ss = _bnact_ref(x_, pa_, pb_, w_, b_)
+        mod = jnp.cos(jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape) * 0.01)
+        return jnp.sum(y * mod) + jnp.sum(s * 0.3) + jnp.sum(ss * 0.01)
+
+    g1 = jax.grad(lambda a: loss(a, True))((x, pa, pb, wk, b))
+    g2 = jax.grad(lambda a: loss(a, False))((x, pa, pb, wk, b))
+    for got, want, nm in zip(g1, g2, ["dx", "dpa", "dpb", "dw", "db"]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3, err_msg=nm
+        )
+
+
+def test_bnact_prologue_border_zero(rng):
+    """A strongly positive shift (relu(pb) > 0 everywhere) must still yield
+    the same result as the unfused reference — i.e. the prologue's border
+    masking reproduces the conv's zero padding exactly."""
+    from hyperpri_tpu.ops.pallas.conv_train import conv3x3_bnact_stats_train
+
+    c, o = 8, 8
+    x = jnp.asarray(rng.normal(size=(1, 8, 9, c)).astype(np.float32))
+    pa = jnp.ones((c,), jnp.float32) * 0.5
+    pb = jnp.ones((c,), jnp.float32) * 3.0  # relu(pb)=3 in any unmasked border
+    wk = jnp.asarray((rng.normal(size=(3, 3, c, o)) * 0.1).astype(np.float32))
+    b = jnp.zeros((o,), jnp.float32)
+    y1, _, _ = conv3x3_bnact_stats_train(x, pa, pb, wk, b, True)
+    y2, _, _ = _bnact_ref(x, pa, pb, wk, b)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+
+
+def test_conv3x3_wgrad_prologue(rng):
+    """Direct wgrad with the recomputed-activation prologue."""
+    from hyperpri_tpu.ops.pallas.conv3x3_grad import conv3x3_wgrad
+
+    n, h, w, c, o = 1, 10, 12, 8, 8
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    pa = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    pb = jnp.asarray((rng.normal(size=(c,)) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, h, w, o)).astype(np.float32))
+
+    def fwd(wk):
+        z = jnp.maximum(x * pa + pb, 0.0)
+        return jnp.sum(xla_conv(z, wk, jnp.zeros((o,)), relu=False) * g)
+
+    ref = jax.grad(fwd)(jnp.zeros((3, 3, c, o), jnp.float32))
+    out = conv3x3_wgrad(x, g, pa, pb, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
