@@ -79,6 +79,9 @@ def main():
         ("down1 64->128 @304x484", (B, 304, 484, 64), 128),
         ("mid 128->128 @304x484", (B, 304, 484, 128), 128),
         ("deep 256->256 @152x242", (B, 152, 242, 256), 256),
+        ("enc2a 256->512 @152x242", (B, 152, 242, 256), 512),
+        ("enc2b 512->512 @152x242", (B, 152, 242, 512), 512),
+        ("dec2 512->256 @152x242", (B, 152, 242, 512), 256),
     ]
     if args.shapes:
         keys = args.shapes.split(",")
