@@ -172,6 +172,9 @@ class Conv3x3(nn.Module):
     # extending Pallas there measures 114.6 -> 112.9 ms/step on CubeNET)
     min_channels: int = 32  # tiny-C convs (UNet RGB stem) waste the 128-lane K
     max_channels: int = 256  # deep-channel tiles are already MXU-efficient in XLA
+    # (512 measured twice in-graph: 102.25/101.48 vs 101.63/100.78 ms — no win;
+    # the halo kernel's H-tile collapses to 4-8 rows at cp=512 and its halo
+    # re-load overhead cancels the layout-boundary savings)
     dtype: Any = jnp.float32
 
     @nn.compact
