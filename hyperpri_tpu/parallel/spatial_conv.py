@@ -33,7 +33,14 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8: public API (check_rep was renamed check_vma)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        kw["check_vma"] = kw.pop("check_rep")
+        return _shard_map(f, **kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from hyperpri_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
