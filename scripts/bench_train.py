@@ -82,29 +82,36 @@ def main():
 
     # Production feeds pre-staged device batches from the async loader
     # (pipeline.py device_puts bf16 ahead of the step), so the bench stages
-    # one base batch outside the timed region and varies it per step with a
-    # scalar multiply from the scan xs — the variation defeats XLA
-    # loop-invariant hoisting at ~1 ms instead of the ~10 ms/step an
-    # in-graph full-resolution RNG regeneration would cost.
+    # one base batch outside the timed region and varies it per step by
+    # dynamic-update-slicing a fresh 8-row noise band into the image, with
+    # the image threaded through the scan carry so the update is in-place —
+    # the variation defeats XLA loop-invariant hoisting at ~0 cost (a
+    # full-image scalar multiply measured 1.8 ms/step in the hlo_stats
+    # trace; in-graph full-res RNG regeneration ~10 ms/step).
     base_key = jax.random.key(123)
     image_dt = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     base_image = jax.random.normal(base_key, (args.batch, h, w, channels), jnp.float32).astype(image_dt)
     base_mask = (jax.random.uniform(base_key, (args.batch, h, w, 1)) < 0.3).astype(jnp.float32)
 
+    # (base_image is NOT donated: it is re-fed on every timed dispatch; the
+    # scan's initial carry copy is one-off per dispatch, ~0.1 ms/step at K=8)
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(state, base_image, base_mask, key):
-        scales = 1.0 + jax.random.normal(key, (K,), jnp.float32) * 1e-3
+        bands = jax.random.normal(key, (K, args.batch, 8, w, channels), image_dt)
 
-        def body(carry, scale):
-            st, _ = carry
+        def body(carry, band):
+            st, image, _ = carry
+            image = jax.lax.dynamic_update_slice(image, band, (0, 0, 0, 0))
             batch = {
-                "image": base_image * scale.astype(image_dt),
+                "image": image,
                 "mask": base_mask,
                 "valid": jnp.ones((args.batch,)),
             }
             st, logs = train_step(st, batch)
-            return (st, logs["loss_sum"]), None
-        (state, loss), _ = jax.lax.scan(body, (state, jnp.zeros(())), scales)
+            return (st, image, logs["loss_sum"]), None
+        (state, _, loss), _ = jax.lax.scan(
+            body, (state, base_image, jnp.zeros(())), bands
+        )
         return loss, state
 
     # measured null-dispatch RTT (same protocol as bench.py) - not the

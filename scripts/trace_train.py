@@ -53,8 +53,9 @@ def main():
     K = args.steps
 
     # Same input staging as scripts/bench_train.py: a base batch staged
-    # outside the step, varied by a per-step scalar (an in-graph full-res
-    # RNG regeneration costs ~10 ms/step and pollutes the trace).
+    # outside the step, varied per step by an in-place 8-row noise band
+    # (a full-image scalar multiply costs 1.8 ms/step and pollutes the
+    # trace; in-graph full-res RNG regeneration ~10 ms/step).
     base_key = jax.random.key(123)
     image_dt = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
     base_image = jax.random.normal(base_key, (b, h, w, channels), jnp.float32).astype(image_dt)
@@ -62,20 +63,22 @@ def main():
 
     @jax.jit
     def run(state, base_image, base_mask, key):
-        scales = 1.0 + jax.random.normal(key, (K,), jnp.float32) * 1e-3
+        bands = jax.random.normal(key, (K, b, 8, w, channels), image_dt)
 
-        def body(carry, scale):
-            st, acc = carry
-            image = base_image * scale.astype(base_image.dtype)
+        def body(carry, band):
+            st, image, acc = carry
+            image = jax.lax.dynamic_update_slice(image, band, (0, 0, 0, 0))
             batch = {"image": image, "mask": base_mask, "valid": jnp.ones((b,))}
             if args.infer:
                 logits = st.apply_fn(
                     {"params": st.params, "batch_stats": st.batch_stats},
                     image.astype(jnp.bfloat16), train=False)
-                return (st, acc + jnp.sum(logits * logits) * 1e-20), None
+                return (st, image, acc + jnp.sum(logits * logits) * 1e-20), None
             st, logs = train_step(st, batch)
-            return (st, acc + logs["loss_sum"]), None
-        (state, acc), _ = jax.lax.scan(body, (state, jnp.zeros(())), scales)
+            return (st, image, acc + logs["loss_sum"]), None
+        (state, _, acc), _ = jax.lax.scan(
+            body, (state, base_image, jnp.zeros(())), bands
+        )
         return acc
 
     run = functools.partial(run, base_image=base_image, base_mask=base_mask)
