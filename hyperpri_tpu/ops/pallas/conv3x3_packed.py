@@ -48,12 +48,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def fit_tiles(h, width, c, o, in_dtype, out_dtype, th=8, tw=None, lane_stride=64,
-              prologue=False):
+              prologue=False, affine_bwd=False):
     """(th, tw) auto-fit to the scoped-VMEM budget. twb = tw + 8: the 2-col
     halo rounded up to a whole sublane tile (windows overlap by 8). Exposed
     so callers (conv_train) can reproduce the pad geometry and share the
     padded input with the wgrad kernel. `prologue` accounts for the
-    BN-affine+ReLU input-activation scratch (see conv3x3_packed)."""
+    BN-affine+ReLU input-activation scratch; `affine_bwd` for the residual
+    block the epilogue-backward mode streams in (see conv3x3_packed)."""
     cp = _round_up(c, LANE)
     op = _round_up(o, 8)
     ls = lane_stride
@@ -68,7 +69,8 @@ def fit_tiles(h, width, c, o, in_dtype, out_dtype, th=8, tw=None, lane_stride=64
         a_b = th_ * tw_ * ls * 4
         o_b = 2 * th_ * tw_ * op * jnp.dtype(out_dtype).itemsize
         z_b = (th_ + 2) * twb_ * cp * esz if prologue else 0
-        return x_b + w_b + p_b + a_b + o_b + z_b
+        r_b = 2 * th_ * tw_ * op * esz if affine_bwd else 0
+        return x_b + w_b + p_b + a_b + o_b + z_b + r_b
 
     if tw is None:
         tw = _round_up(width, 8)
@@ -88,15 +90,17 @@ def padded_width(width, h, c, o, in_dtype, out_dtype, lane_stride=64,
     return 1 + width + ((n_w - 1) * tw + (tw + 8) - 1 - width)
 
 
-def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None):
+def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None,
+            bwd_hw=None, bwd_shift=0, n_w=1):
     refs = list(refs)
     x_ref = refs.pop(0)
     w_ref = refs.pop(0)
     b_ref = refs.pop(0)
-    pa_ref = refs.pop(0) if pro_hw is not None else None
-    pb_ref = refs.pop(0) if pro_hw is not None else None
+    pa_ref = refs.pop(0) if (pro_hw or bwd_hw) is not None else None
+    pb_ref = refs.pop(0) if (pro_hw or bwd_hw) is not None else None
+    r_ref = refs.pop(0) if bwd_hw is not None else None
     o_ref = refs.pop(0)
-    s_ref = refs.pop(0) if stats_hw is not None else None
+    s_ref = refs.pop(0) if (stats_hw or bwd_hw) is not None else None
     p_ref = refs.pop(0)
     acc_ref = refs.pop(0)
     z_ref = refs.pop(0) if pro_hw is not None else None
@@ -143,6 +147,53 @@ def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None):
     y = acc_ref[...] + b_ref[0, :].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
+    if bwd_hw is not None:
+        # Fused BN-affine+ReLU *backward* epilogue: this call is the adjoint
+        # conv (y = dz, the cotangent of z = relu(pa*x + pb) at the fused
+        # DoubleConv boundary, conv_train.conv3x3_bnact_stats_train). While
+        # dz sits in the f32 accumulator, recompute the relu mask from the
+        # residual x, emit dx = [z' > 0] * dz * pa, and accumulate the
+        # affine's gradients dpa = sum(mdz * x), dpb = sum(mdz) — the
+        # separate full-resolution mask/scale pass and the reduction re-read
+        # XLA would otherwise run never touch HBM.
+        h, w = bwd_hw
+        i, j = pl.program_id(1), pl.program_id(2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 1)
+        valid = jnp.logical_and(row < h - i * th, col < w - j * tw)
+        # r is read raw (no pad pass) through Element windows whose W start
+        # is clamped so no window crosses the physical round_up(W,8) extent
+        # (whole-row overreads hard-fault; see conv3x3_grad.py). The last W
+        # block is therefore left-shifted by a static `bwd_shift` columns;
+        # realign it here. Clamp-garbage (which can be NaN/Inf) is zeroed
+        # before any product — 0 * NaN would poison the reductions.
+        rb = r_ref[0]
+        if bwd_shift:
+            rs = jnp.concatenate(
+                [rb[:, bwd_shift:, :], jnp.zeros((th, bwd_shift, ls), rb.dtype)],
+                axis=1,
+            )
+            rb = jnp.where(j == n_w - 1, rs, rb)
+        xf = jnp.where(valid, rb.astype(jnp.float32), 0.0)
+        # valid must mask mdz too: the first padding row/col of y is NOT
+        # zero (the SAME conv's halo bleeds real neighbors into the margin)
+        # and m there is `pb > 0` on the zeroed xf.
+        m = jnp.logical_and((xf * pa_ref[0, :] + pb_ref[0, :]) > 0, valid)
+        mdz = jnp.where(m, y, 0.0)
+        o_ref[...] = (mdz * pa_ref[0, :])[:, :, :op].reshape(
+            1, th, tw, op
+        ).astype(o_ref.dtype)
+        first = jnp.logical_and(
+            pl.program_id(0) == 0, jnp.logical_and(i == 0, j == 0)
+        )
+
+        @pl.when(first)
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+
+        s_ref[0:1, :] += jnp.sum(mdz * xf, axis=(0, 1)).reshape(1, ls)
+        s_ref[1:2, :] += jnp.sum(mdz, axis=(0, 1)).reshape(1, ls)
+        return
     o_ref[...] = y[:, :, :op].reshape(1, th, tw, op).astype(o_ref.dtype)
 
     if s_ref is not None:
@@ -177,6 +228,7 @@ def conv3x3_packed(
     b: jnp.ndarray,
     pa: Optional[jnp.ndarray] = None,
     pb: Optional[jnp.ndarray] = None,
+    bwd_x: Optional[jnp.ndarray] = None,
     *,
     relu: bool = True,
     th: int = 8,
@@ -195,6 +247,15 @@ def conv3x3_packed(
     + ReLU between two convs into the consumer's load. Without them,
     act_in = identity.
 
+    bwd_x: switches the kernel to the BN-affine *backward* epilogue (the
+    adjoint-conv call of conv_train.conv3x3_bnact_stats_train). x is then
+    the cotangent g, y = dz stays in the f32 accumulator, and pa/pb are the
+    (O,) affine of the boundary being differentiated; bwd_x is the saved
+    residual (N, H, W, O) raw producer output, read through a ragged blocked
+    spec (no padding pass). Returns (dx, (dpa, dpb)) with
+    dx = [pa*bwd_x+pb > 0] * dz * pa, dpa = sum(mdz*bwd_x), dpb = sum(mdz).
+    Mutually exclusive with the prologue / with_stats / relu modes.
+
     lane_stride: packing stride of the three dw taps in the fat dot's N dim
     (>= O, multiple of 8). 64 halves the P scratch and the MXU N-passes for
     O <= 64 but exercises sub-tile lane slices; default packs at the full
@@ -204,7 +265,11 @@ def conv3x3_packed(
     assert (kh, kw) == (3, 3) and wc == c, (w.shape, x.shape)
     assert o <= LANE, f"packed kernel requires O <= {LANE}, got {o}"
     out_dtype = out_dtype or x.dtype
-    prologue = pa is not None
+    bwd = bwd_x is not None
+    if bwd:
+        assert not relu and not with_stats and pa is not None
+        assert bwd_x.shape == (n, h, width, o), (bwd_x.shape, (n, h, width, o))
+    prologue = pa is not None and not bwd
 
     cp = _round_up(c, LANE)
     op = _round_up(o, 8)
@@ -213,7 +278,8 @@ def conv3x3_packed(
     th = min(th, _round_up(h, 8))
 
     th, tw = fit_tiles(h, width, c, o, x.dtype, out_dtype,
-                       th=th, tw=tw, lane_stride=ls, prologue=prologue)
+                       th=th, tw=tw, lane_stride=ls, prologue=prologue,
+                       affine_bwd=bwd)
     twb = tw + 8
 
     n_h = pl.cdiv(h, th)
@@ -232,10 +298,14 @@ def conv3x3_packed(
     grid = (n, n_h, n_w)
     if with_stats:
         assert not relu, "stats are the BatchNorm input: pre-activation only"
+    wphys = _round_up(width, 8)
+    bwd_shift = max(0, n_w * tw - wphys) if bwd else 0
     kernel = functools.partial(
         _kernel, th=th, tw=tw, twb=twb, relu=relu, op=op, ls=ls,
         stats_hw=(h, width) if with_stats else None,
         pro_hw=(h, width) if prologue else None,
+        bwd_hw=(h, width) if bwd else None,
+        bwd_shift=bwd_shift, n_w=n_w,
     )
     flops = 2 * n * h * width * c * o * 9
 
@@ -249,14 +319,41 @@ def conv3x3_packed(
         pl.BlockSpec((8, ls), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [xp, wp, bp]
-    if prologue:
-        # Per-input-channel affine as (8, cp) 2-D tiles (same trick as bias:
-        # dynamic 1-D slices cannot be alignment-proven).
-        pap = jnp.broadcast_to(jnp.pad(pa.astype(jnp.float32), (0, cp - c)), (8, cp))
-        pbp = jnp.broadcast_to(jnp.pad(pb.astype(jnp.float32), (0, cp - c)), (8, cp))
-        cspec = pl.BlockSpec((8, cp), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM)
+    if prologue or bwd:
+        # Per-channel affine as (8, lanes) 2-D tiles (same trick as bias:
+        # dynamic 1-D slices cannot be alignment-proven). Prologue: input
+        # channels (cp lanes); backward epilogue: output channels (ls lanes).
+        al = cp if prologue else ls
+        an = c if prologue else o
+        pap = jnp.broadcast_to(jnp.pad(pa.astype(jnp.float32), (0, al - an)), (8, al))
+        pbp = jnp.broadcast_to(jnp.pad(pb.astype(jnp.float32), (0, al - an)), (8, al))
+        cspec = pl.BlockSpec((8, al), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM)
         in_specs += [cspec, cspec]
         operands += [pap, pbp]
+    if bwd:
+        # The residual is read RAW (no full-resolution pad pass — the whole
+        # point) through non-overlapping Element windows, wgrad-style: the W
+        # start is clamped so no window crosses the physical round_up(W,8)
+        # extent (the clamped last block is realigned in-kernel by the
+        # static bwd_shift), H windows stay within round_up(h,8) because
+        # th <= 8, and lane/sublane clamp-garbage is masked before use.
+        w_start = wphys - tw  # static, >= 0 since tw <= round_up(width, 8)
+        # The min() is expressed in units of 8 with an explicit *8 so Mosaic
+        # can prove the sublane tiling divides the window offset (a raw
+        # min(j*tw, w_start) fails its divisibility proof).
+        in_specs.append(
+            pl.BlockSpec(
+                (Element(1), Element(th), Element(tw), Element(ls)),
+                lambda bn, i, j: (
+                    bn,
+                    i * th,
+                    jnp.minimum(j * (tw // 8), w_start // 8) * 8,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(bwd_x)
     scratch_shapes = [
         pltpu.VMEM((th, twb, 3 * ls), jnp.float32),
         pltpu.VMEM((th, tw, ls), jnp.float32),
@@ -264,6 +361,7 @@ def conv3x3_packed(
     if prologue:
         scratch_shapes.append(pltpu.VMEM((th + 2, twb, cp), x.dtype))
 
+    two_outputs = with_stats or bwd
     result = pl.pallas_call(
         kernel,
         grid=grid,
@@ -274,7 +372,7 @@ def conv3x3_packed(
             ),
             pl.BlockSpec((8, ls), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM),
         )
-        if with_stats
+        if two_outputs
         else pl.BlockSpec(
             (1, th, tw, op), lambda bn, i, j: (bn, i, j, 0), memory_space=pltpu.VMEM
         ),
@@ -282,7 +380,7 @@ def conv3x3_packed(
             jax.ShapeDtypeStruct((n, n_h * th, n_w * tw, op), out_dtype),
             jax.ShapeDtypeStruct((8, ls), jnp.float32),
         )
-        if with_stats
+        if two_outputs
         else jax.ShapeDtypeStruct((n, n_h * th, n_w * tw, op), out_dtype),
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
@@ -290,7 +388,7 @@ def conv3x3_packed(
         ),
         interpret=interpret,
     )(*operands)
-    if with_stats:
+    if two_outputs:
         out, stats = result
-        return out[:, :h, :width, :o], stats[:2, :o]
+        return out[:, :h, :width, :o], (stats[0, :o], stats[1, :o])
     return result[:, :h, :width, :o]
