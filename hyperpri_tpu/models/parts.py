@@ -510,10 +510,16 @@ class DoubleConv(nn.Module):
         prologue = None
         if not self.fused_bn:
             bn1 = TorchBatchNorm(name="bn1")
-            if st is not None and train:
-                # conv1 took the Pallas route (stats came from its epilogue):
-                # fold bn1-apply + ReLU into conv2's kernel prologue — the
-                # activated mid tensor never takes an HBM round trip.
+            if train:
+                # Fold bn1-apply + ReLU into conv2's kernel prologue — the
+                # activated mid tensor never takes an HBM round trip. Stats
+                # come from conv1's Pallas epilogue when it took that route
+                # (st), else bn1 reduces them in XLA; either way the affine
+                # is exact and Conv3x3 falls back to an XLA relu(pa*x+pb)
+                # pass (identical numerics) whenever conv2 itself can't
+                # fuse. This covers boundaries whose conv1 is gated off the
+                # Pallas path (e.g. UNET inc: 3 input channels) but whose
+                # conv2 is full-res Pallas.
                 prologue = bn1(
                     x, use_running_average=False, precomputed=st, affine_only=True
                 )
