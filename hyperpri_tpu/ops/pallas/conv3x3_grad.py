@@ -35,8 +35,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_PACK = 64  # dw-pack stride (see dw_pack below)
+
+
 def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
-                  prologue: bool = False):
+                  prologue: bool = False, dw_pack: bool = False):
     refs = list(refs)
     x_ref = refs.pop(0)
     g_ref = refs.pop(0)
@@ -71,7 +74,51 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
     row = jax.lax.broadcasted_iota(jnp.int32, (th, wo, 1), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (th, wo, 1), 1)
     valid = jnp.logical_and(row < h - i * th, col < w)
-    g2 = jnp.where(valid, g_ref[0], 0).reshape(th * wo, g_ref.shape[-1])
+    op = g_ref.shape[-1]
+    g2m = jnp.where(valid, g_ref[0], 0)
+
+    if dw_pack:
+        # O <= 64 route: the N=64 dots leave half the MXU lanes idle (same
+        # waste the packed forward kernel eliminates). Reindex the column
+        # sum (u = c + dw):  dW[dh, dw] = sum_{r,u} x[dh+r, u] * g[r, u-dw]
+        # — x no longer shifts with dw, so the three dw taps pack into the
+        # RHS lanes: RHS[(r, u), dw*64 + o] = g[r, u-dw, o] (zero-embedded
+        # into the wo+8-wide u range, built ONCE per block, reused across
+        # every dh and channel chunk). 3 dots of N=192 (2 MXU passes, 75%
+        # lane fill) replace 9 dots of N=64 (9 passes, 50% fill).
+        wo8 = wo + 8
+        if op < _PACK:
+            g2m = jnp.concatenate(
+                [g2m, jnp.zeros((th, wo, _PACK - op), g2m.dtype)], axis=-1
+            )
+        parts = []
+        for dw in range(3):
+            right = jnp.zeros((th, wo8 - wo - dw, _PACK), g2m.dtype)
+            if dw == 0:
+                parts.append(jnp.concatenate([g2m, right], axis=1))
+            else:
+                left = jnp.zeros((th, dw, _PACK), g2m.dtype)
+                parts.append(jnp.concatenate([left, g2m, right], axis=1))
+        rhs = jnp.concatenate(parts, axis=-1).reshape(th * wo8, 3 * _PACK)
+        for k in range(n_chunks):
+            for dh in range(3):
+                if z_ref is not None:
+                    xs = z_ref[dh : dh + th, 0:wo8, k * LANE : (k + 1) * LANE]
+                else:
+                    xs = x_ref[0, dh : dh + th, 0:wo8, k * LANE : (k + 1) * LANE]
+                out = jax.lax.dot_general(
+                    xs.reshape(th * wo8, LANE),
+                    rhs,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for dw in range(3):
+                    o_ref[dh, dw, k * LANE : (k + 1) * LANE, :] += out[
+                        :, dw * _PACK : dw * _PACK + op
+                    ]
+        return
+
+    g2 = g2m.reshape(th * wo, op)
     for k in range(n_chunks):
         for dh in range(3):
             for dw in range(3):
@@ -132,6 +179,11 @@ def conv3x3_wgrad(
     n_chunks = cp // LANE
 
     prologue = pa is not None
+    # O <= 64: fold the three dw taps into the dot's N dimension (N=192)
+    # instead of 9 half-lane N=64 dots — see _wgrad_kernel. Needs the x
+    # window to span wo+8 columns, which wb always covers (wo is a multiple
+    # of 8, so wb = round_up(wo+2, 8) = wo+8).
+    dw_pack = op <= _PACK
 
     def vmem_bytes(th_):
         esz = x.dtype.itemsize
@@ -139,7 +191,8 @@ def conv3x3_wgrad(
         g_b = 2 * th_ * wo * op * g.dtype.itemsize
         o_b = 9 * cp * op * 4
         z_b = (th_ + 2) * wb * cp * esz if prologue else 0
-        return x_b + g_b + o_b + z_b
+        r_b = th_ * (wo + 8) * 3 * _PACK * g.dtype.itemsize if dw_pack else 0
+        return x_b + g_b + o_b + z_b + r_b
 
     while th > 4 and vmem_bytes(th) > 12 * 1024 * 1024:
         th //= 2
@@ -164,7 +217,7 @@ def conv3x3_wgrad(
     grid = (n, n_h_blocks)
     kernel = functools.partial(
         _wgrad_kernel, th=th, wo=wo, h=h, w=width, n_chunks=n_chunks,
-        prologue=prologue,
+        prologue=prologue, dw_pack=dw_pack,
     )
     flops = 2 * n * h * width * c * o * 9
 
