@@ -19,7 +19,6 @@ TPU-first choices:
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional
 
 import jax
@@ -216,15 +215,8 @@ class Conv3x3(nn.Module):
         # Eval stays on XLA: the tap-packed kernel wins per-op at C>64/O<=64
         # (first conv 7.2 vs 10.9 ms) but measured SLOWER composed into the
         # batch-1 serving graph (38.7 vs 60.0 cubes/s whole-model) — XLA's
-        # pure-forward fusion is its best case. See BENCHMARKS.md.
-        # HYPERPRI_PACKED_EVAL_MIN_C (experiment knob): route eval convs with
-        # c >= the given threshold through the packed kernel (200 isolates the
-        # 238-band first conv).
-        _min_c = int(os.environ.get("HYPERPRI_PACKED_EVAL_MIN_C", "0"))
-        use_packed_eval = (
-            _min_c > 0 and not train and on_tpu and c >= _min_c
-            and self.features <= 64 and self.spatial_mesh is None
-        )
+        # pure-forward fusion is its best case. The per-conv eval-routing
+        # experiment lives in scripts/bench_conv_kernels.py; see BENCHMARKS.md.
         x = x.astype(self.dtype)
         fuse_prologue = (
             prologue is not None and use_pallas and collect_stats
@@ -278,20 +270,6 @@ class Conv3x3(nn.Module):
                 return y, (s, ss)
             return (
                 conv3x3_bias_train(x, kernel.astype(self.dtype), bias.astype(jnp.float32)),
-                None,
-            )
-        if use_packed_eval:
-            from hyperpri_tpu.ops.pallas.conv3x3_packed import conv3x3_packed
-
-            return (
-                conv3x3_packed(
-                    x,
-                    kernel.astype(self.dtype),
-                    bias.astype(jnp.float32),
-                    relu=False,
-                    out_dtype=self.dtype,
-                    lane_stride=64,
-                ),
                 None,
             )
         y = jax.lax.conv_general_dilated(

@@ -144,9 +144,11 @@ def conv3x3_bias_act(
     window (masked to zero on the padding border) — the BatchNorm-apply +
     ReLU between two convs fused into the consumer's load. Else identity.
 
-    with_stats (requires relu=False): additionally returns a f32 (2, O)
-    array [per-channel sum; per-channel sum of squares] of y over N,H,W —
-    the BatchNorm batch statistics, accumulated in the kernel epilogue."""
+    with_stats (requires relu=False): additionally returns a (sum, sumsq)
+    tuple of f32 (O,) per-channel reductions of y over N,H,W — the
+    BatchNorm batch statistics, accumulated in the kernel epilogue (same
+    structure as conv3x3_packed's, so _conv_route's return type does not
+    diverge by route)."""
     n, h, width, c = x.shape
     kh, kw, wc, o = w.shape
     assert (kh, kw) == (3, 3) and wc == c, (w.shape, x.shape)
@@ -244,5 +246,5 @@ def conv3x3_bias_act(
     )(*operands)
     if with_stats:
         out, stats = result
-        return out[:, :h, :width, :o], stats[:2, :o]
+        return out[:, :h, :width, :o], (stats[0, :o], stats[1, :o])
     return result[:, :h, :width, :o]

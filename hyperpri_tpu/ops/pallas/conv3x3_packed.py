@@ -144,7 +144,12 @@ def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None,
             acc_ref[...] = s
         else:
             acc_ref[...] += s
-    y = acc_ref[...] + b_ref[0, :].astype(jnp.float32)
+    y = acc_ref[...]
+    if bwd_hw is None:
+        # The backward-epilogue mode skips the bias: y there is the adjoint
+        # conv's dz, which has no bias term (adding one would corrupt
+        # dx/dpa/dpb; the b operand is ignored in that mode).
+        y = y + b_ref[0, :].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
     if bwd_hw is not None:
@@ -254,7 +259,8 @@ def conv3x3_packed(
     residual (N, H, W, O) raw producer output, read through a ragged blocked
     spec (no padding pass). Returns (dx, (dpa, dpb)) with
     dx = [pa*bwd_x+pb > 0] * dz * pa, dpa = sum(mdz*bwd_x), dpb = sum(mdz).
-    Mutually exclusive with the prologue / with_stats / relu modes.
+    Mutually exclusive with the prologue / with_stats / relu modes. In this
+    mode the b operand is ignored (the adjoint conv has no bias term).
 
     lane_stride: packing stride of the three dw taps in the fat dot's N dim
     (>= O, multiple of 8). 64 halves the P scratch and the MXU N-passes for
@@ -337,6 +343,14 @@ def conv3x3_packed(
         # extent (the clamped last block is realigned in-kernel by the
         # static bwd_shift), H windows stay within round_up(h,8) because
         # th <= 8, and lane/sublane clamp-garbage is masked before use.
+        # H windows reach n_h*th rows. On ragged H (h % th != 0) that would
+        # read whole rows past the allocation — whole-row overreads past the
+        # physical extent hard-fault on TPU (conv3x3_grad.py pads g for the
+        # same reason) and rows in [h, round_up(h, 8)) were never validated
+        # on hardware. Zero-pad the residual to the window extent; the
+        # in-kernel `valid` mask already zeroes these rows before use.
+        if n_h * th != h:
+            bwd_x = jnp.pad(bwd_x, ((0, 0), (0, n_h * th - h), (0, 0), (0, 0)))
         w_start = wphys - tw  # static, >= 0 since tw <= round_up(width, 8)
         # The min() is expressed in units of 8 with an explicit *8 so Mosaic
         # can prove the sublane tiling divides the window offset (a raw

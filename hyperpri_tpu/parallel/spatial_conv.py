@@ -34,10 +34,18 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 try:  # jax >= 0.8: public API (check_rep was renamed check_vma)
+    import inspect
+
     from jax import shard_map as _shard_map
 
+    # Some intermediate jax versions expose jax.shard_map but still spell
+    # the kwarg check_rep; translate only when the new name exists, and
+    # accept either spelling (default True) from call sites.
+    _VMA = "check_vma" in inspect.signature(_shard_map).parameters
+
     def shard_map(f, **kw):
-        kw["check_vma"] = kw.pop("check_rep")
+        flag = kw.pop("check_rep", kw.pop("check_vma", True))
+        kw["check_vma" if _VMA else "check_rep"] = flag
         return _shard_map(f, **kw)
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map

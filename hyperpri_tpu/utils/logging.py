@@ -28,7 +28,8 @@ class ExperimentLogger:
         self.csv_path = os.path.join(self.log_dir, "metrics.csv")
         self.jsonl_path = os.path.join(self.log_dir, "events.jsonl")
         self.tb = TBEventWriter(os.path.join(self.log_dir, "tb")) if tensorboard else None
-        self._fieldnames = None
+        # On resume, adopt the existing CSV's header so appended rows align.
+        self._fieldnames = self._read_existing_header()
         if hparams is not None:
             self.log_hparams(hparams)
 
@@ -43,19 +44,45 @@ class ExperimentLogger:
         with open(os.path.join(self.log_dir, "hparams.json"), "w") as f:
             json.dump(safe, f, indent=2, default=str)
 
+    def _read_existing_header(self):
+        try:
+            with open(self.csv_path, newline="") as f:
+                header = next(csv.reader(f), None)
+            return list(header) if header else None
+        except OSError:
+            return None
+
+    def _rewrite_csv_with_header(self) -> None:
+        """Rewrite metrics.csv under the grown field set.
+
+        A metric key appearing mid-run (e.g. val metrics after the first
+        train-only epoch) must not produce rows wider than the header —
+        every row is re-emitted aligned to the union header, blank-filling
+        columns a row never had."""
+        rows = []
+        try:
+            with open(self.csv_path, newline="") as f:
+                rows = list(csv.DictReader(f))
+        except OSError:
+            pass
+        with open(self.csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames, restval="")
+            w.writeheader()
+            w.writerows(rows)
+
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
         row = {"step": step, "time": time.time()}
         row.update({k: _to_float(v) for k, v in metrics.items()})
-        write_header = self._fieldnames is None and not os.path.exists(self.csv_path)
         if self._fieldnames is None:
             self._fieldnames = list(row)
-        for k in row:
-            if k not in self._fieldnames:  # schema grew; rewrite header set
-                self._fieldnames.append(k)
-        with open(self.csv_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
-            if write_header:
+            with open(self.csv_path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fieldnames)
                 w.writeheader()
+        elif any(k not in self._fieldnames for k in row):
+            self._fieldnames += [k for k in row if k not in self._fieldnames]
+            self._rewrite_csv_with_header()
+        with open(self.csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore", restval="")
             w.writerow(row)
         with open(self.jsonl_path, "a") as f:
             f.write(json.dumps(row) + "\n")

@@ -8,24 +8,40 @@ verified here:
   - splits 1/2/4 are box-disjoint; split 3 shares box64 and split 5 shares
     box49 between train and val (quirks of the shipped data itself: those
     folds have 59 entries but only 58 unique image names)
-Skipped when the reference checkout is absent."""
+The split files are shipped with this repo (Datasets/HyperPRI/data_splits —
+small public data definitions, so a standalone checkout runs the 5-fold
+protocol); when the reference checkout is also present, a byte-identity
+cross-check pins the in-repo copies against it."""
 
+import filecmp
 import os
 
 import pytest
 
 from hyperpri_tpu.data.splits import parse_split_csv, parse_split_json
 
+REPO_SPLITS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "Datasets", "HyperPRI", "data_splits",
+)
 REF_SPLITS = "/root/reference/Datasets/HyperPRI/data_splits"
 
-pytestmark = pytest.mark.skipif(
+
+@pytest.mark.skipif(
     not os.path.isdir(REF_SPLITS), reason="reference data_splits not present"
 )
+def test_repo_splits_byte_identical_to_reference():
+    names = sorted(os.listdir(REF_SPLITS))
+    assert sorted(os.listdir(REPO_SPLITS)) == names
+    match, mismatch, errors = filecmp.cmpfiles(
+        REPO_SPLITS, REF_SPLITS, names, shallow=False
+    )
+    assert not mismatch and not errors
 
 
 def _fold(split, which, **kw):
     return parse_split_json(
-        os.path.join(REF_SPLITS, f"{which}{split}.json"), root="/x",
+        os.path.join(REPO_SPLITS, f"{which}{split}.json"), root="/x",
         require_exists=False, **kw
     )
 
@@ -57,14 +73,14 @@ def test_box_disjointness_matches_shipped_data(split):
 @pytest.mark.parametrize("which", ["train1", "val3"])
 def test_csv_mirrors_match_json(which, tmp_path):
     jindex = parse_split_json(
-        os.path.join(REF_SPLITS, f"{which}.json"), root="/x", require_exists=False
+        os.path.join(REPO_SPLITS, f"{which}.json"), root="/x", require_exists=False
     )
     # CSV basenames carry no plant/resolution: the parser locates them by
     # scanning {root}/{Plant}_{WxH}/ dirs, so materialize those dir names.
     for e in jindex.entries:
         os.makedirs(tmp_path / os.path.basename(os.path.dirname(os.path.dirname(e.img))), exist_ok=True)
     cindex = parse_split_csv(
-        os.path.join(REF_SPLITS, f"{which}.csv"), root=str(tmp_path), require_exists=False
+        os.path.join(REPO_SPLITS, f"{which}.csv"), root=str(tmp_path), require_exists=False
     )
     assert {e.name for e in jindex.entries} == {e.name for e in cindex.entries}
 
