@@ -102,6 +102,18 @@ class HyperpriDataset:
         # bytes and the per-batch 1.1 GB astype disappears.
         self.image_dtype = np.dtype(image_dtype)
 
+    def set_cache_items(self, n: int) -> int:
+        """Resize the decoded-image LRU; returns the previous size (evicting
+        oldest entries if shrinking, clearing entirely at n <= 0)."""
+        old = self._cache_items
+        self._cache_items = n
+        if n <= 0:
+            self._cache.clear()
+        else:
+            while len(self._cache) > n:
+                self._cache.pop(next(iter(self._cache)))
+        return old
+
     def set_image_dtype(self, dtype) -> None:
         """Change the returned image dtype; drops cache entries of the old
         dtype so the cache never serves stale-dtype arrays."""

@@ -20,6 +20,7 @@ scalars come back to host.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional, Tuple
 
@@ -96,6 +97,22 @@ def _eval_loader(data, cfg, trainer) -> DataLoader:
     )
 
 
+@contextlib.contextmanager
+def _segmap_image_cache(dataset, enabled: bool):
+    """Hold decoded images in the dataset LRU across the predict + segmap
+    passes so each cube is decoded at most once per eval (the segmap pass
+    would otherwise re-read ~267 MB ENVI per displayed image). Sized to the
+    split — eval splits are ~14 val / ~8 test images; restored on exit."""
+    if not enabled or not hasattr(dataset, "set_cache_items"):
+        yield
+        return
+    old = dataset.set_cache_items(max(len(dataset), dataset._cache_items))
+    try:
+        yield
+    finally:
+        dataset.set_cache_items(old)
+
+
 def validate_net(
     val_data,
     params: ExperimentConfig,
@@ -110,7 +127,13 @@ def validate_net(
     state = _load_eval_state(trainer, cfg, state)
     loader = _eval_loader(val_data, cfg, trainer)
 
-    flat_logits, flat_masks, batches = _gather_predictions(trainer, loader, state)
+    with _segmap_image_cache(val_data, save_segmaps):
+        flat_logits, flat_masks, batches = _gather_predictions(trainer, loader, state)
+        if save_segmaps:
+            segmap_images = {
+                b_i: _reload_images(val_data, names, valid)
+                for b_i, (_, _, valid, names) in enumerate(batches)
+            }
     logits_d = jnp.asarray(flat_logits)
     masks_d = jnp.asarray(flat_masks)
 
@@ -147,10 +170,9 @@ def validate_net(
     precision = patch_pr_tail(precision)
 
     if save_segmaps:
-        for logits, masks, valid, names in batches:
-            images = _reload_images(val_data, names, valid)
+        for b_i, (logits, masks, valid, names) in enumerate(batches):
             eval_color_segmaps(
-                images, names, logits, masks, cfg.fig_dir,
+                segmap_images[b_i], names, logits, masks, cfg.fig_dir,
                 dataset=cfg.dataset, model_param_str=cfg.model_param_str,
                 threshold=best_thr_f, valid=valid,
             )
@@ -172,7 +194,13 @@ def test_net(
     state = _load_eval_state(trainer, cfg, state)
     loader = _eval_loader(test_data, cfg, trainer)
 
-    flat_logits, flat_masks, batches = _gather_predictions(trainer, loader, state)
+    with _segmap_image_cache(test_data, save_segmaps):
+        flat_logits, flat_masks, batches = _gather_predictions(trainer, loader, state)
+        if save_segmaps:
+            segmap_images = {
+                b_i: _reload_images(test_data, names, valid)
+                for b_i, (_, _, valid, names) in enumerate(batches)
+            }
     probs = jax.nn.sigmoid(jnp.asarray(flat_logits))
     masks_d = jnp.asarray(flat_masks)
     thr = float(best_threshold)
@@ -195,10 +223,9 @@ def test_net(
         print(f"                 {results['conf_mat'][1].tolist()}")
 
     if save_segmaps:
-        for logits, masks, valid, names in batches:
-            images = _reload_images(test_data, names, valid)
+        for b_i, (logits, masks, valid, names) in enumerate(batches):
             eval_color_segmaps(
-                images, names, logits, masks, cfg.fig_dir,
+                segmap_images[b_i], names, logits, masks, cfg.fig_dir,
                 dataset=cfg.dataset, model_param_str=cfg.model_param_str,
                 threshold=thr, valid=valid,
             )
