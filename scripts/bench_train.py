@@ -142,6 +142,7 @@ def main():
         "unit": "ms/step",
         "steps_per_sec": round(1 / per_step, 2),
         "compile_sec": round(compile_time, 1),
+        "last_loss_sum": round(float(loss), 4),  # finite-ness check
     }
     print(json.dumps(result))
 
