@@ -64,20 +64,48 @@ class CubeNET(nn.Module):
         # with D input channels (reference models.py:169).
         if self.fused_bn and self.use_pallas:
             x1 = PallasConv3x3(fd, dtype=self.dtype, name="first_conv")(x)
-        else:
-            x1, st = Conv3x3(fd, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="first_conv")(
-                x, collect_stats=train and not self.fused_bn, train=train
-            )
-            if not self.fused_bn:
-                x1 = TorchBatchNorm(name="first_bn")(x1, use_running_average=not train, precomputed=st)
-            x1 = nn.relu(x1).astype(self.dtype)
-        # inc2: single Conv+BN+ReLU to "match UNET's starter DoubleConv"
-        # (reference models.py:176-180).
-        if self.fused_bn and self.use_pallas:
             x1 = PallasConv3x3(fd, dtype=self.dtype, name="inc2_conv")(x1)
         else:
+            from hyperpri_tpu.models.parts import _packed_train_route, arena_compatible
+
+            want_stats = train and not self.fused_bn
+            n, h, w = x.shape[0], x.shape[1], x.shape[2]
+            # first_conv -> first_bn -> ReLU -> inc2_conv is the same fusable
+            # boundary shape as DoubleConv's conv1->bn1->relu->conv2: fold the
+            # bn-apply + ReLU into inc2_conv's Pallas prologue and, when the
+            # tile covers agree, hand first_conv's raw output over in ARENA
+            # geometry (no full-res pad before inc2, no residual slice after
+            # first_conv; see ops/pallas/conv3x3_packed).
+            arena = (
+                want_stats
+                and _packed_train_route(h, w, self.hsi_depth, fd,
+                                        self.pallas_train, train, self.spatial_mesh)
+                and _packed_train_route(h, w, fd, fd,
+                                        self.pallas_train, train, self.spatial_mesh)
+                and arena_compatible(h, w, self.hsi_depth, fd, fd, self.dtype)
+            )
+            x1, st = Conv3x3(fd, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="first_conv")(
+                x, collect_stats=want_stats, train=train, arena_out=arena
+            )
+            prologue = None
+            if not self.fused_bn:
+                first_bn = TorchBatchNorm(name="first_bn")
+                if train:
+                    prologue = first_bn(
+                        x1, use_running_average=False, precomputed=st,
+                        affine_only=True,
+                        count=float(n * h * w) if arena else None,
+                        feats=fd if arena else None,
+                    )
+                else:
+                    x1 = first_bn(x1, use_running_average=not train, precomputed=st)
+            if prologue is None:
+                x1 = nn.relu(x1).astype(self.dtype)
+            # inc2: single Conv+BN+ReLU to "match UNET's starter DoubleConv"
+            # (reference models.py:176-180).
             x1, st = Conv3x3(fd, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="inc2_conv")(
-                x1, collect_stats=train and not self.fused_bn, train=train
+                x1, collect_stats=want_stats, train=train, prologue=prologue,
+                arena_hw=(h, w) if arena else None,
             )
             if not self.fused_bn:
                 x1 = TorchBatchNorm(name="inc2_bn")(x1, use_running_average=not train, precomputed=st)

@@ -31,6 +31,54 @@ from flax import linen as nn
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
+# Gate defaults for the trainable Pallas conv route (measured; see Conv3x3).
+PALLAS_MIN_PIXELS = 30_000
+PALLAS_MIN_CHANNELS = 32
+PALLAS_MAX_CHANNELS = 256
+PACKED_MAX_O = 64  # conv3x3_packed lane-stride route (conv_train._PACKED_LS)
+
+
+def _packed_train_route(h, w, c, o, pallas_train, train, spatial_mesh,
+                        min_pixels=PALLAS_MIN_PIXELS,
+                        min_channels=PALLAS_MIN_CHANNELS,
+                        max_channels=PALLAS_MAX_CHANNELS):
+    """True iff Conv3x3 would route this layer through the tap-packed
+    trainable Pallas kernel (the arena-eligible route). Mirrors Conv3x3's
+    use_pallas gate + conv_train._conv_route's O<=64 split."""
+    return (
+        pallas_train and train and jax.default_backend() == "tpu"
+        and spatial_mesh is None
+        and h * w >= min_pixels
+        and min_channels <= c
+        and max(c, o) <= max_channels
+        and o <= PACKED_MAX_O
+    )
+
+
+def arena_compatible(h, w, c1, o1, o2, dtype, prologue1=False):
+    """True iff a conv1(c1->o1) -> BN+ReLU -> conv2(o1->o2) boundary at
+    logical (h, w) can run in arena geometry (ops/pallas/conv3x3_packed):
+    the producer's, consumer's, and adjoint's tile covers must agree so the
+    arena buffer has one well-defined extent and dx's aval matches conv1's y.
+    """
+    if o1 > PACKED_MAX_O or o2 > PACKED_MAX_O:
+        return False
+    from hyperpri_tpu.ops.pallas.conv3x3_packed import arena_extent, fit_tiles
+
+    e1 = arena_extent(h, w, c1, o1, dtype, dtype, prologue=prologue1)
+    if e1 is None:
+        return False
+    # adjoint of conv2 (dx of the fused boundary): c=o2 cotangent channels,
+    # o=o1 boundary channels, epilogue-backward residual accounting
+    ea = arena_extent(h, w, o2, o1, dtype, dtype, affine_bwd=True)
+    if ea != e1:
+        return False
+    th2, tw2 = fit_tiles(h, w, o1, o2, dtype, dtype, prologue=True, arena_in=True)
+    if th2 != 8:
+        return False
+    n_h2, n_w2 = -(-h // th2), -(-w // tw2)
+    return n_h2 * th2 == e1[0] and n_w2 * tw2 <= e1[1]
+
 
 class TorchBatchNorm(nn.Module):
     """BatchNorm with exact torch semantics.
@@ -52,7 +100,7 @@ class TorchBatchNorm(nn.Module):
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, *, use_running_average: bool, precomputed=None,
-        affine_only: bool = False,
+        affine_only: bool = False, count=None, feats=None,
     ):
         """precomputed: optional (sum, sumsq) per-channel f32 pair over
         N,H,W — batch statistics already reduced inside the producing Pallas
@@ -63,8 +111,13 @@ class TorchBatchNorm(nn.Module):
         per-channel (A, B) f32 pair with y = A*x + B instead of applying the
         normalization — the consumer fuses the apply (+ ReLU) into its own
         Pallas conv prologue (ops/pallas/conv_train.conv3x3_bnact_stats_train)
-        and x never takes the elementwise round trip through HBM."""
-        feats = x.shape[-1]
+        and x never takes the elementwise round trip through HBM.
+
+        count/feats: explicit pixel count and channel count for precomputed
+        stats when x is ARENA-framed (bigger than logical, padded lanes —
+        see ops/pallas/conv3x3_packed) and its shape would give the wrong
+        normalization count."""
+        feats = feats if feats is not None else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (feats,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (feats,), jnp.float32)
         ra_mean = self.variable(
@@ -77,8 +130,9 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            if precomputed is not None:
+            if count is None:
                 count = float(np.prod([x.shape[a] for a in axes]))
+            if precomputed is not None:
                 psum, psumsq = precomputed
                 mean = psum / count
                 var = psumsq / count - jnp.square(mean)
@@ -86,7 +140,7 @@ class TorchBatchNorm(nn.Module):
                 mean = jnp.mean(x32, axis=axes)
                 var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
             if not self.is_initializing():
-                n = float(np.prod([x.shape[a] for a in axes]))
+                n = count
                 unbiased = var * (n / max(n - 1.0, 1.0))
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
@@ -178,7 +232,7 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, collect_stats: bool = False, train: bool = False,
-                 prologue=None):
+                 prologue=None, arena_out: bool = False, arena_hw=None):
         """Returns (y, stats) where stats is a (sum, sumsq) f32 pair of
         per-channel BatchNorm batch statistics when `collect_stats` and the
         Pallas path is active (computed in the kernel epilogue), else None —
@@ -190,18 +244,31 @@ class Conv3x3(nn.Module):
         Routes that can't fuse it apply the affine in XLA first (identical
         numerics, one extra elementwise pass).
 
+        Arena geometry (ops/pallas/conv3x3_packed; DoubleConv wires it when
+        arena_compatible): arena_out returns y ARENA-framed so the fused
+        consumer reads it with no pad/slice pass; arena_hw=(h, w) declares
+        this conv's input x as arena-framed with that logical extent
+        (requires prologue — the arena's garbage is masked in-kernel). The
+        caller must only set these when the packed Pallas route is certain.
+
         Routing (measured, scripts/bench_conv_kernels.py on v5e):
           - train: all gated full-res shapes -> Pallas (XLA's training-graph
             spatial blocking collapses there); O<=64 layers take the
             tap-packed kernel, wider ones the halo kernel;
           - eval: XLA (whole-model measurement; see use_packed_eval below)."""
-        c = x.shape[-1]
+        if arena_hw is not None:
+            assert prologue is not None, "arena input needs the masking prologue"
+            c = prologue[0].shape[-1]
+            h_log, w_log = arena_hw
+        else:
+            c = x.shape[-1]
+            h_log, w_log = x.shape[1], x.shape[2]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
         shape_ok = (
-            x.shape[1] * x.shape[2] >= self.min_pixels
+            h_log * w_log >= self.min_pixels
             and self.min_channels <= c
             and max(c, self.features) <= self.max_channels
         )
@@ -212,6 +279,12 @@ class Conv3x3(nn.Module):
             self.pallas_train and train and on_tpu and shape_ok
             and self.spatial_mesh is None
         )
+        if arena_out or arena_hw is not None:
+            # wiring (DoubleConv/_fused_single_boundary) only requests arena
+            # when the packed trainable route is certain
+            assert use_pallas and self.features <= PACKED_MAX_O, (
+                arena_out, arena_hw, use_pallas, self.features)
+            assert collect_stats and (arena_hw is None or prologue is not None)
         # Eval stays on XLA: the tap-packed kernel wins per-op at C>64/O<=64
         # (first conv 7.2 vs 10.9 ms) but measured SLOWER composed into the
         # batch-1 serving graph (38.7 vs 60.0 cubes/s whole-model) — XLA's
@@ -260,12 +333,14 @@ class Conv3x3(nn.Module):
             if fuse_prologue:
                 pa, pb = prologue
                 y, s, ss = conv3x3_bnact_stats_train(
-                    x, pa, pb, kernel.astype(self.dtype), bias.astype(jnp.float32)
+                    x, pa, pb, kernel.astype(self.dtype), bias.astype(jnp.float32),
+                    False, arena_hw,
                 )
                 return y, (s, ss)
             if collect_stats:
                 y, s, ss = conv3x3_bias_stats_train(
-                    x, kernel.astype(self.dtype), bias.astype(jnp.float32)
+                    x, kernel.astype(self.dtype), bias.astype(jnp.float32),
+                    False, arena_out,
                 )
                 return y, (s, ss)
             return (
@@ -478,13 +553,28 @@ class DoubleConv(nn.Module):
             x = PallasConv3x3(mid, dtype=self.dtype, name="conv1")(x)
             return PallasConv3x3(self.out_channels, dtype=self.dtype, name="conv2")(x)
         want_stats = train and not self.fused_bn
+        n, h, w, c_in = x.shape
+        # Arena geometry: when BOTH convs take the tap-packed trainable
+        # Pallas route and their tile covers agree, conv1 emits its raw
+        # output ARENA-framed and conv2 (fwd, dW, and the backward epilogue)
+        # reads it in place — the full-resolution pad before conv2 and the
+        # residual slice after conv1 never exist (TODO.md arena design;
+        # ops/pallas/conv3x3_packed docstring).
+        arena = (
+            want_stats
+            and _packed_train_route(h, w, c_in, mid, self.pallas_train, train,
+                                    self.spatial_mesh)
+            and _packed_train_route(h, w, mid, self.out_channels,
+                                    self.pallas_train, train, self.spatial_mesh)
+            and arena_compatible(h, w, c_in, mid, self.out_channels, self.dtype)
+        )
         x, st = Conv3x3(
             mid,
             pallas_train=self.pallas_train,
             spatial_mesh=self.spatial_mesh,
             dtype=self.dtype,
             name="conv1",
-        )(x, collect_stats=want_stats, train=train)
+        )(x, collect_stats=want_stats, train=train, arena_out=arena)
         prologue = None
         if not self.fused_bn:
             bn1 = TorchBatchNorm(name="bn1")
@@ -499,7 +589,9 @@ class DoubleConv(nn.Module):
                 # Pallas path (e.g. UNET inc: 3 input channels) but whose
                 # conv2 is full-res Pallas.
                 prologue = bn1(
-                    x, use_running_average=False, precomputed=st, affine_only=True
+                    x, use_running_average=False, precomputed=st, affine_only=True,
+                    count=float(n * h * w) if arena else None,
+                    feats=mid if arena else None,
                 )
             else:
                 x = bn1(x, use_running_average=not train, precomputed=st)
@@ -511,7 +603,8 @@ class DoubleConv(nn.Module):
             spatial_mesh=self.spatial_mesh,
             dtype=self.dtype,
             name="conv2",
-        )(x, collect_stats=want_stats, train=train, prologue=prologue)
+        )(x, collect_stats=want_stats, train=train, prologue=prologue,
+          arena_hw=(h, w) if arena else None)
         if not self.fused_bn:
             x = TorchBatchNorm(name="bn2")(x, use_running_average=not train, precomputed=st)
         return nn.relu(x).astype(self.dtype)

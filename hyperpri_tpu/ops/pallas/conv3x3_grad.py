@@ -39,7 +39,8 @@ _PACK = 64  # dw-pack stride (see dw_pack below)
 
 
 def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
-                  prologue: bool = False, dw_pack: bool = False):
+                  prologue: bool = False, dw_pack: bool = False,
+                  arena_x: bool = False):
     refs = list(refs)
     x_ref = refs.pop(0)
     g_ref = refs.pop(0)
@@ -60,11 +61,27 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
         # (conv3x3_packed._kernel): x is the producing conv's RAW output;
         # z = relu(pa*x + pb), masked back to exact zeros on the padding
         # border so dW matches the forward's activated input.
-        prow = jax.lax.broadcasted_iota(jnp.int32, (th + 2, x_ref.shape[2], 1), 0) + i * th
-        pcol = jax.lax.broadcasted_iota(jnp.int32, (th + 2, x_ref.shape[2], 1), 1)
+        wb_ = z_ref.shape[1]
+        prow = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wb_, 1), 0) + i * th
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (th + 2, wb_, 1), 1)
         pvalid = (prow >= 1) & (prow <= h) & (pcol >= 1) & (pcol <= w)
-        zf = x_ref[0].astype(jnp.float32) * pa_ref[0, :] + pb_ref[0, :]
-        z_ref[...] = jnp.where(pvalid, jnp.maximum(zf, 0.0), 0.0).astype(z_ref.dtype)
+        if arena_x:
+            # Arena-framed x (see conv3x3_packed): 8-aligned window realigned
+            # by the static +7 shift, garbage masked before the affine (it
+            # may be NaN), op-wide lanes zero-extended to the dot's cp.
+            xw = x_ref[0, 7 : 7 + th + 2, 7 : 7 + wb_, :]
+            xm = jnp.where(pvalid, xw.astype(jnp.float32), 0.0)
+            zf = jnp.maximum(xm * pa_ref[0, :] + pb_ref[0, :], 0.0)
+            zf = jnp.where(pvalid, zf, 0.0)
+            if xw.shape[-1] < z_ref.shape[-1]:
+                zf = jnp.concatenate(
+                    [zf, jnp.zeros((th + 2, wb_, z_ref.shape[-1] - xw.shape[-1]), zf.dtype)],
+                    axis=-1,
+                )
+            z_ref[...] = zf.astype(z_ref.dtype)
+        else:
+            zf = x_ref[0].astype(jnp.float32) * pa_ref[0, :] + pb_ref[0, :]
+            z_ref[...] = jnp.where(pvalid, jnp.maximum(zf, 0.0), 0.0).astype(z_ref.dtype)
 
     # g is read RAW (no HBM pad pass): its Element windows clamp at the H
     # tail and the array may be narrower than wo, so zero the out-of-range
@@ -136,7 +153,7 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
                 )
 
 
-@functools.partial(jax.jit, static_argnames=("th", "pad_w_to", "interpret"))
+@functools.partial(jax.jit, static_argnames=("th", "pad_w_to", "interpret", "arena_in"))
 def conv3x3_wgrad(
     x: jnp.ndarray,
     g: jnp.ndarray,
@@ -146,6 +163,7 @@ def conv3x3_wgrad(
     th: int = 16,
     pad_w_to: Optional[int] = None,
     interpret: bool = False,
+    arena_in: bool = False,
 ) -> jnp.ndarray:
     """dW (3, 3, C, O) f32 for y = conv3x3_same(act_in(x), w), given
     cotangent g.
@@ -163,10 +181,23 @@ def conv3x3_wgrad(
     input pad byte-identical to the forward's, so XLA CSEs the two
     full-resolution pads into one (measured ~1.9 ms/step on CubeNET).
     The extra columns are zeros and contribute nothing to dW.
+
+    arena_in: x is arena-framed (logical (0,0) at (8,8), see conv3x3_packed)
+    and read with NO pad pass: 8-aligned windows realigned by a static +7
+    shift in the prologue scratch copy (prologue required — the arena's
+    borders/garbage must be masked). Logical (h, w) come from g.
     """
-    n, h, width, c = x.shape
-    gn, gh, gw, o = g.shape
-    assert (gn, gh, gw) == (n, h, width), (x.shape, g.shape)
+    if arena_in:
+        assert pa is not None, "arena_in x requires the masking prologue"
+        assert pad_w_to is None, "arena_in reads raw — no pad to share"
+        n = x.shape[0]
+        gn, h, width, o = g.shape
+        assert gn == n, (x.shape, g.shape)
+        c = x.shape[-1] if pa is None else pa.shape[0]
+    else:
+        n, h, width, c = x.shape
+        gn, gh, gw, o = g.shape
+        assert (gn, gh, gw) == (n, h, width), (x.shape, g.shape)
     th = min(th, _round_up(h, 8))
 
     wo = _round_up(width, 8)
@@ -179,6 +210,18 @@ def conv3x3_wgrad(
     n_chunks = cp // LANE
 
     prologue = pa is not None
+    if arena_in:
+        # H windows reach round_up(h, th)+9 rows; the arena's +16 slack
+        # covers that only while the tile cover matches the producer's
+        # (round_up(h, 8)) — shrink th=16 to 8 on H shapes where the covers
+        # diverge. Offsets i*th stay 8-divisible for th in {8, 16}.
+        while th > 8 and _round_up(h, th) + 9 > x.shape[1]:
+            th //= 2
+        assert th % 8 == 0, th
+        # W window is wb+8 = wo+16 (8-divisible per Mosaic's block rule),
+        # read from col 0 — the arena's full W extent covers it exactly.
+        assert x.shape[1] >= _round_up(h, th) + 9 and x.shape[2] >= wo + 16, (
+            x.shape, (h, width))
     # O <= 64: fold the three dw taps into the dot's N dimension (N=192)
     # instead of 9 half-lane N=64 dots — see _wgrad_kernel. Needs the x
     # window to span wo+8 columns, which wb always covers (wo is a multiple
@@ -194,18 +237,21 @@ def conv3x3_wgrad(
         r_b = th_ * (wo + 8) * 3 * _PACK * g.dtype.itemsize if dw_pack else 0
         return x_b + g_b + o_b + z_b + r_b
 
-    while th > 4 and vmem_bytes(th) > 12 * 1024 * 1024:
+    while th > (8 if arena_in else 4) and vmem_bytes(th) > 12 * 1024 * 1024:
         th //= 2
 
     n_h_blocks = pl.cdiv(h, th)
-    bottom = n_h_blocks * th - h + 1
-    # x: 1-px SAME border + bottom/right alignment (zeros). g is consumed
-    # raw when its Element windows stay inside the physical (8,128)-tiled
-    # extent: W overreads up to round_up(w,8) clamp safely and are masked
-    # in-kernel, but whole-row overreads past round_up(h,8) are a hard TPU
-    # fault (measured) — so ragged H (or a non-8-multiple channel count)
-    # falls back to an explicit zero-pad.
-    xp = jnp.pad(x, ((0, 0), (1, bottom), (1, wb - width - 1), (0, cp - c)))
+    if arena_in:
+        xp = x  # read raw through shifted arena windows — the whole point
+    else:
+        bottom = n_h_blocks * th - h + 1
+        # x: 1-px SAME border + bottom/right alignment (zeros). g is consumed
+        # raw when its Element windows stay inside the physical (8,128)-tiled
+        # extent: W overreads up to round_up(w,8) clamp safely and are masked
+        # in-kernel, but whole-row overreads past round_up(h,8) are a hard TPU
+        # fault (measured) — so ragged H (or a non-8-multiple channel count)
+        # falls back to an explicit zero-pad.
+        xp = jnp.pad(x, ((0, 0), (1, bottom), (1, wb - width - 1), (0, cp - c)))
     if n_h_blocks * th == h and op == o:
         gp = g
     else:
@@ -217,15 +263,22 @@ def conv3x3_wgrad(
     grid = (n, n_h_blocks)
     kernel = functools.partial(
         _wgrad_kernel, th=th, wo=wo, h=h, w=width, n_chunks=n_chunks,
-        prologue=prologue, dw_pack=dw_pack,
+        prologue=prologue, dw_pack=dw_pack, arena_x=arena_in,
     )
     flops = 2 * n * h * width * c * o * 9
 
-    x_spec = pl.BlockSpec(
-        (Element(1), Element(th + 2), Element(wb), Element(cp)),
-        lambda bn, i: (bn, i * th, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    if arena_in:
+        x_spec = pl.BlockSpec(
+            (Element(1), Element(th + 9), Element(wb + 8), Element(x.shape[-1])),
+            lambda bn, i: (bn, i * th, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        x_spec = pl.BlockSpec(
+            (Element(1), Element(th + 2), Element(wb), Element(cp)),
+            lambda bn, i: (bn, i * th, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     g_spec = pl.BlockSpec(
         (Element(1), Element(th), Element(wo), Element(op)),
         lambda bn, i: (bn, i * th, 0, 0),
@@ -235,9 +288,10 @@ def conv3x3_wgrad(
     operands = [xp, gp]
     scratch_shapes = []
     if prologue:
-        pap = jnp.broadcast_to(jnp.pad(pa.astype(jnp.float32), (0, cp - c)), (8, cp))
-        pbp = jnp.broadcast_to(jnp.pad(pb.astype(jnp.float32), (0, cp - c)), (8, cp))
-        cspec = pl.BlockSpec((8, cp), lambda bn, i: (0, 0), memory_space=pltpu.VMEM)
+        al = x.shape[-1] if arena_in else cp
+        pap = jnp.broadcast_to(jnp.pad(pa.astype(jnp.float32), (0, al - c)), (8, al))
+        pbp = jnp.broadcast_to(jnp.pad(pb.astype(jnp.float32), (0, al - c)), (8, al))
+        cspec = pl.BlockSpec((8, al), lambda bn, i: (0, 0), memory_space=pltpu.VMEM)
         in_specs += [cspec, cspec]
         operands += [pap, pbp]
         scratch_shapes.append(pltpu.VMEM((th + 2, wb, cp), x.dtype))
@@ -255,6 +309,13 @@ def conv3x3_wgrad(
             bytes_accessed=x.size * x.dtype.itemsize + g.size * g.dtype.itemsize,
             transcendentals=0,
         ),
+        # Arena windows are sublane-unaligned (8-offsets in 16-row bf16
+        # tiles), so Mosaic's double-buffer allocation pads past what
+        # vmem_bytes models (measured 20.4M at th=8, 608x968x64->64) — the
+        # 16M default cap rejects a kernel that fits v5e's 128M VMEM fine.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+        if arena_in
+        else None,
         interpret=interpret,
     )(*operands)
     return out[:, :, :c, :o]

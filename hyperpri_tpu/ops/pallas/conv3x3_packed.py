@@ -48,13 +48,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def fit_tiles(h, width, c, o, in_dtype, out_dtype, th=8, tw=None, lane_stride=64,
-              prologue=False, affine_bwd=False):
+              prologue=False, affine_bwd=False, arena_in=False):
     """(th, tw) auto-fit to the scoped-VMEM budget. twb = tw + 8: the 2-col
     halo rounded up to a whole sublane tile (windows overlap by 8). Exposed
     so callers (conv_train) can reproduce the pad geometry and share the
     padded input with the wgrad kernel. `prologue` accounts for the
     BN-affine+ReLU input-activation scratch; `affine_bwd` for the residual
-    block the epilogue-backward mode streams in (see conv3x3_packed)."""
+    block the epilogue-backward mode streams in (see conv3x3_packed);
+    `arena_in` for the wider (th+9, twb+8) aligned windows over an
+    arena-framed input (fewer lanes: the arena stores op, not cp)."""
     cp = _round_up(c, LANE)
     op = _round_up(o, 8)
     ls = lane_stride
@@ -63,7 +65,10 @@ def fit_tiles(h, width, c, o, in_dtype, out_dtype, th=8, tw=None, lane_stride=64
     def vmem_bytes(th_, tw_):
         twb_ = tw_ + 8
         esz = jnp.dtype(in_dtype).itemsize
-        x_b = 2 * (th_ + 2) * twb_ * cp * esz
+        if arena_in:
+            x_b = 2 * (th_ + 9) * (twb_ + 8) * _round_up(c, 8) * esz
+        else:
+            x_b = 2 * (th_ + 2) * twb_ * cp * esz
         w_b = 2 * 3 * cp * 3 * ls * esz
         p_b = th_ * twb_ * 3 * ls * 4
         a_b = th_ * tw_ * ls * 4
@@ -81,6 +86,22 @@ def fit_tiles(h, width, c, o, in_dtype, out_dtype, th=8, tw=None, lane_stride=64
     return th, tw
 
 
+def arena_extent(h, width, c, o, in_dtype, out_dtype, lane_stride=64,
+                 prologue=False, affine_bwd=False):
+    """(Eh, Ew) tile cover this kernel's grid spans for logical (h, width) —
+    the arena buffer is (n, 8 + Eh + 8, 8 + Ew + 8, round_up(o, 8)). Producers
+    and consumers of a shared arena must agree on the extent (checked by
+    models/parts.arena_compatible)."""
+    th, tw = fit_tiles(h, width, c, o, in_dtype, out_dtype,
+                       lane_stride=lane_stride, prologue=prologue,
+                       affine_bwd=affine_bwd)
+    if th != 8:
+        return None  # Element output offsets must be 8-divisible (probe)
+    n_h = -(-h // th)
+    n_w = -(-width // tw)
+    return n_h * th, n_w * tw
+
+
 def padded_width(width, h, c, o, in_dtype, out_dtype, lane_stride=64,
                  prologue=False):
     """Total padded W (left border + W + right) the packed kernel DMAs."""
@@ -91,7 +112,7 @@ def padded_width(width, h, c, o, in_dtype, out_dtype, lane_stride=64,
 
 
 def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None,
-            bwd_hw=None, bwd_shift=0, n_w=1):
+            bwd_hw=None, bwd_shift=0, n_w=1, arena_x=False):
     refs = list(refs)
     x_ref = refs.pop(0)
     w_ref = refs.pop(0)
@@ -104,7 +125,7 @@ def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None,
     p_ref = refs.pop(0)
     acc_ref = refs.pop(0)
     z_ref = refs.pop(0) if pro_hw is not None else None
-    cp = x_ref.shape[-1]
+    cp = z_ref.shape[-1] if z_ref is not None else x_ref.shape[-1]
 
     if pro_hw is not None:
         # BN-affine + ReLU prologue: the input is the producing conv's RAW
@@ -117,8 +138,26 @@ def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None,
         row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, twb, 1), 0) + i * th
         col = jax.lax.broadcasted_iota(jnp.int32, (th + 2, twb, 1), 1) + j * tw
         valid = (row >= 1) & (row <= h) & (col >= 1) & (col <= w)
-        zf = x_ref[0].astype(jnp.float32) * pa_ref[0, :] + pb_ref[0, :]
-        z_ref[...] = jnp.where(valid, jnp.maximum(zf, 0.0), 0.0).astype(z_ref.dtype)
+        if arena_x:
+            # Arena-framed input (logical (0,0) at (8,8); never-written
+            # borders and beyond-logical tiles are arbitrary garbage, possibly
+            # NaN): the window is 8-aligned at (i*th, j*tw), so realign by the
+            # static +7 shift here, mask BEFORE anything can propagate NaN
+            # (where() on the *inputs*, not the affine result), and
+            # zero-extend the op-wide arena lanes to the dot's cp lanes.
+            xw = x_ref[0, 7 : 7 + th + 2, 7 : 7 + twb, :]
+            xm = jnp.where(valid, xw.astype(jnp.float32), 0.0)
+            # pa/pb ride (8, op_in) tiles in arena mode (lane widths match)
+            zf = jnp.maximum(xm * pa_ref[0, :] + pb_ref[0, :], 0.0)
+            zf = jnp.where(valid, zf, 0.0)
+            if xw.shape[-1] < cp:
+                zf = jnp.concatenate(
+                    [zf, jnp.zeros((th + 2, twb, cp - xw.shape[-1]), zf.dtype)], axis=-1
+                )
+            z_ref[...] = zf.astype(z_ref.dtype)
+        else:
+            zf = x_ref[0].astype(jnp.float32) * pa_ref[0, :] + pb_ref[0, :]
+            z_ref[...] = jnp.where(valid, jnp.maximum(zf, 0.0), 0.0).astype(z_ref.dtype)
 
     def x_window(dh):
         if z_ref is not None:
@@ -225,7 +264,8 @@ def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "th", "tw", "out_dtype", "lane_stride", "with_stats", "interpret"),
+    static_argnames=("relu", "th", "tw", "out_dtype", "lane_stride", "with_stats",
+                     "interpret", "logical_hw", "arena_in", "arena_out"),
 )
 def conv3x3_packed(
     x: jnp.ndarray,
@@ -242,6 +282,9 @@ def conv3x3_packed(
     lane_stride: Optional[int] = None,
     with_stats: bool = False,
     interpret: bool = False,
+    logical_hw: Optional[tuple] = None,
+    arena_in: bool = False,
+    arena_out: bool = False,
 ):
     """y = act(conv3x3_same(act_in(x), w) + b); (N,H,W,C) x, (3,3,C,O) w,
     O <= 128.
@@ -265,17 +308,48 @@ def conv3x3_packed(
     lane_stride: packing stride of the three dw taps in the fat dot's N dim
     (>= O, multiple of 8). 64 halves the P scratch and the MXU N-passes for
     O <= 64 but exercises sub-tile lane slices; default packs at the full
-    128-lane tile so every slice is tile-aligned."""
-    n, h, width, c = x.shape
+    128-lane tile so every slice is tile-aligned.
+
+    Arena geometry (TODO.md; crux validated by scripts/probe_element_out.py):
+    an "arena" tensor frames logical pixel (0,0) at (8,8) inside a
+    (n, 8+Eh+8, 8+Ew+8, round_up(ch,8)) buffer whose borders and
+    beyond-logical tiles are never written (arbitrary garbage, masked in
+    consumers) — raw Pallas conv outputs flow between kernels with NO
+    full-resolution pad or slice pass in between.
+      arena_out: write y arena-framed (Element output windows at +8 offsets)
+                 instead of slicing to logical; stats stay logical-masked.
+      arena_in:  prologue mode — x is arena-framed (logical_hw required);
+                 the 8-aligned (th+9, twb+8) window is realigned by a static
+                 +7 shift in the scratch copy, garbage masked, lanes
+                 zero-extended to the dot's cp.
+                 bwd mode — bwd_x (the residual) is arena-framed; its +8
+                 offsets are themselves 8-aligned, so the reads need no
+                 clamping, realign shift, or ragged pad.
+    """
+    bwd = bwd_x is not None
+    prologue = pa is not None and not bwd
+    n = x.shape[0]
+    c = w.shape[2]
+    if arena_in and prologue:
+        assert logical_hw is not None, "arena_in prologue needs logical_hw"
+        h, width = logical_hw
+        opx = x.shape[-1]
+        assert opx >= c and opx % 8 == 0, (x.shape, c)
+    else:
+        _, h, width, xc = x.shape
+        if logical_hw is not None:
+            assert (h, width) == tuple(logical_hw), (x.shape, logical_hw)
+        assert xc == c, (w.shape, x.shape)
     kh, kw, wc, o = w.shape
-    assert (kh, kw) == (3, 3) and wc == c, (w.shape, x.shape)
+    assert (kh, kw) == (3, 3), w.shape
     assert o <= LANE, f"packed kernel requires O <= {LANE}, got {o}"
     out_dtype = out_dtype or x.dtype
-    bwd = bwd_x is not None
     if bwd:
         assert not relu and not with_stats and pa is not None
-        assert bwd_x.shape == (n, h, width, o), (bwd_x.shape, (n, h, width, o))
-    prologue = pa is not None and not bwd
+        if arena_in:
+            assert bwd_x.shape[0] == n and bwd_x.shape[-1] >= o, bwd_x.shape
+        else:
+            assert bwd_x.shape == (n, h, width, o), (bwd_x.shape, (n, h, width, o))
 
     cp = _round_up(c, LANE)
     op = _round_up(o, 8)
@@ -285,16 +359,29 @@ def conv3x3_packed(
 
     th, tw = fit_tiles(h, width, c, o, x.dtype, out_dtype,
                        th=th, tw=tw, lane_stride=ls, prologue=prologue,
-                       affine_bwd=bwd)
+                       affine_bwd=bwd, arena_in=arena_in and prologue)
     twb = tw + 8
+    if arena_out or arena_in:
+        assert th == 8, (th, "arena offsets must be 8-divisible")
 
     n_h = pl.cdiv(h, th)
     n_w = pl.cdiv(width, tw)
-    # Pad: 1-px SAME border top/left; bottom/right so every Element window
-    # (H stride th size th+2; W stride tw size twb) stays in bounds.
-    bottom = n_h * th + 1 - h
-    right = (n_w - 1) * tw + twb - 1 - width
-    xp = jnp.pad(x, ((0, 0), (1, bottom), (1, right), (0, cp - c)))
+    if arena_in and prologue:
+        # Arena input: no pad pass at all. Windows are (th+9, twb+8) at
+        # aligned (i*th, j*tw) — the W size is twb+8, not the minimal twb+7,
+        # because Mosaic requires the block's second-to-last dim to be
+        # 8-divisible. The last windows reach (n_h*th+9, n_w*tw+16), which
+        # the arena's +16 slack covers iff the producer's extent is
+        # >= this kernel's tile cover (checked at wiring time, asserted here).
+        assert x.shape[1] >= n_h * th + 9 and x.shape[2] >= n_w * tw + 16, (
+            x.shape, (n_h * th, n_w * tw))
+        xp = x
+    else:
+        # Pad: 1-px SAME border top/left; bottom/right so every Element window
+        # (H stride th size th+2; W stride tw size twb) stays in bounds.
+        bottom = n_h * th + 1 - h
+        right = (n_w - 1) * tw + twb - 1 - width
+        xp = jnp.pad(x, ((0, 0), (1, bottom), (1, right), (0, cp - c)))
 
     # Wpack[dh][c, dw*ls + o] = w[dh, dw, c, o]; zero elsewhere.
     wp = jnp.pad(w.astype(x.dtype), ((0, 0), (0, 0), (0, cp - c), (0, ls - o)))
@@ -305,22 +392,31 @@ def conv3x3_packed(
     if with_stats:
         assert not relu, "stats are the BatchNorm input: pre-activation only"
     wphys = _round_up(width, 8)
-    bwd_shift = max(0, n_w * tw - wphys) if bwd else 0
+    bwd_shift = max(0, n_w * tw - wphys) if (bwd and not arena_in) else 0
     kernel = functools.partial(
         _kernel, th=th, tw=tw, twb=twb, relu=relu, op=op, ls=ls,
         stats_hw=(h, width) if with_stats else None,
         pro_hw=(h, width) if prologue else None,
         bwd_hw=(h, width) if bwd else None,
         bwd_shift=bwd_shift, n_w=n_w,
+        arena_x=arena_in and prologue,
     )
     flops = 2 * n * h * width * c * o * 9
 
-    in_specs = [
-        pl.BlockSpec(
+    if arena_in and prologue:
+        x_spec = pl.BlockSpec(
+            (Element(1), Element(th + 9), Element(twb + 8), Element(opx)),
+            lambda bn, i, j: (bn, i * th, j * tw, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        x_spec = pl.BlockSpec(
             (Element(1), Element(th + 2), Element(twb), Element(cp)),
             lambda bn, i, j: (bn, i * th, j * tw, 0),
             memory_space=pltpu.VMEM,
-        ),
+        )
+    in_specs = [
+        x_spec,
         pl.BlockSpec((3, cp, 3 * ls), lambda bn, i, j: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((8, ls), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -328,15 +424,37 @@ def conv3x3_packed(
     if prologue or bwd:
         # Per-channel affine as (8, lanes) 2-D tiles (same trick as bias:
         # dynamic 1-D slices cannot be alignment-proven). Prologue: input
-        # channels (cp lanes); backward epilogue: output channels (ls lanes).
-        al = cp if prologue else ls
+        # channels (cp lanes; arena: the window's op-wide lanes so widths
+        # match in the scratch copy); backward epilogue: output channels
+        # (ls lanes).
+        al = (opx if arena_in else cp) if prologue else ls
         an = c if prologue else o
         pap = jnp.broadcast_to(jnp.pad(pa.astype(jnp.float32), (0, al - an)), (8, al))
         pbp = jnp.broadcast_to(jnp.pad(pb.astype(jnp.float32), (0, al - an)), (8, al))
         cspec = pl.BlockSpec((8, al), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM)
         in_specs += [cspec, cspec]
         operands += [pap, pbp]
-    if bwd:
+    if bwd and arena_in:
+        # Arena residual: the +8 frame offset makes every window offset
+        # 8-divisible by itself, so the reads are plain aligned windows — no
+        # clamping, no realign shift, no ragged-H pad. Coverage is the
+        # producer-extent >= this kernel's tile cover (wiring-checked).
+        assert bwd_x.shape[1] >= n_h * th + 8 and bwd_x.shape[2] >= n_w * tw + 8, (
+            bwd_x.shape, (n_h * th, n_w * tw))
+        in_specs.append(
+            pl.BlockSpec(
+                (Element(1), Element(th), Element(tw), Element(ls)),
+                lambda bn, i, j: (
+                    bn,
+                    (i * (th // 8) + 1) * 8,
+                    (j * (tw // 8) + 1) * 8,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(bwd_x)
+    elif bwd:
         # The residual is read RAW (no full-resolution pad pass — the whole
         # point) through non-overlapping Element windows, wgrad-style: the W
         # start is clamped so no window crosses the physical round_up(W,8)
@@ -375,34 +493,55 @@ def conv3x3_packed(
     if prologue:
         scratch_shapes.append(pltpu.VMEM((th + 2, twb, cp), x.dtype))
 
+    if arena_out:
+        # Arena output: Element windows at the +8 frame offset, written as
+        # (expr)*8 so Mosaic's divisibility proof accepts them (probe:
+        # scripts/probe_element_out.py). The 8-px borders and beyond-logical
+        # tiles of the buffer are never written — consumers mask them.
+        y_spec = pl.BlockSpec(
+            (Element(1), Element(th), Element(tw), Element(op)),
+            lambda bn, i, j: (bn, (i * (th // 8) + 1) * 8, (j * (tw // 8) + 1) * 8, 0),
+            memory_space=pltpu.VMEM,
+        )
+        y_shape = jax.ShapeDtypeStruct(
+            (n, 8 + n_h * th + 8, 8 + n_w * tw + 8, op), out_dtype
+        )
+    else:
+        y_spec = pl.BlockSpec(
+            (1, th, tw, op), lambda bn, i, j: (bn, i, j, 0), memory_space=pltpu.VMEM
+        )
+        y_shape = jax.ShapeDtypeStruct((n, n_h * th, n_w * tw, op), out_dtype)
+
     two_outputs = with_stats or bwd
     result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec(
-                (1, th, tw, op), lambda bn, i, j: (bn, i, j, 0), memory_space=pltpu.VMEM
-            ),
+            y_spec,
             pl.BlockSpec((8, ls), lambda bn, i, j: (0, 0), memory_space=pltpu.VMEM),
         )
         if two_outputs
-        else pl.BlockSpec(
-            (1, th, tw, op), lambda bn, i, j: (bn, i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, n_h * th, n_w * tw, op), out_dtype),
-            jax.ShapeDtypeStruct((8, ls), jnp.float32),
-        )
+        else y_spec,
+        out_shape=(y_shape, jax.ShapeDtypeStruct((8, ls), jnp.float32))
         if two_outputs
-        else jax.ShapeDtypeStruct((n, n_h * th, n_w * tw, op), out_dtype),
+        else y_shape,
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * x.dtype.itemsize * 2, transcendentals=0
         ),
+        # Arena Element windows sit at sublane-unaligned 8-offsets inside
+        # 16-row bf16 tiles; Mosaic pads their double buffers past the
+        # Python-side vmem fit (see conv3x3_grad) — raise the 16M default
+        # cap rather than shrink tiles below the 8-divisibility floor.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+        if (arena_in or arena_out)
+        else None,
         interpret=interpret,
     )(*operands)
     if two_outputs:
         out, stats = result
-        return out[:, :h, :width, :o], (stats[0, :o], stats[1, :o])
-    return result[:, :h, :width, :o]
+        if not arena_out:
+            out = out[:, :h, :width, :o]
+        return out, (stats[0, :o], stats[1, :o])
+    return result if arena_out else result[:, :h, :width, :o]

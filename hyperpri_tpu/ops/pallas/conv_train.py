@@ -39,29 +39,35 @@ _PACKED_LS = 64
 
 
 def _conv_route(x, w, b, pa=None, pb=None, *, relu, with_stats=False,
-                interpret=False):
+                interpret=False, logical_hw=None, arena_in=False,
+                arena_out=False):
     """One 3x3 SAME conv, routed to the best measured kernel for its output
     width (scripts/bench_conv_kernels.py on v5e): O <= 64 -> tap-packed
     fat-N dots (conv3x3_packed, lane stride 64; 238->64 7.2 vs 9.2 ms halo,
     128->64 3.9 vs 4.5); wider -> the halo kernel's Cout-tiled shifted dots
     (conv3x3_bias_act; at O=128 mid-res shapes it beats packed 0.72 vs
-    0.80 ms). pa/pb: optional per-input-channel BN-affine+ReLU prologue."""
+    0.80 ms). pa/pb: optional per-input-channel BN-affine+ReLU prologue.
+    Arena flags (conv3x3_packed docstring) require the packed route."""
     o = w.shape[-1]
     if o <= _PACKED_LS:
         return conv3x3_packed(
             x, w, b, pa, pb, relu=relu, out_dtype=x.dtype, lane_stride=_PACKED_LS,
             with_stats=with_stats, interpret=interpret,
+            logical_hw=logical_hw, arena_in=arena_in, arena_out=arena_out,
         )
+    assert not (arena_in or arena_out), "arena geometry is packed-route only"
     return conv3x3_bias_act(
         x, w, b, pa, pb, relu=relu, out_dtype=x.dtype, with_stats=with_stats,
         interpret=interpret,
     )
 
 
-def _wgrad(x, g, o, interpret, pa=None, pb=None):
+def _wgrad(x, g, o, interpret, pa=None, pb=None, arena_in=False):
     """dW with the input pad geometry matched to the packed forward's (so
     XLA CSEs the two full-res pads) whenever the forward took the packed
-    route."""
+    route; with an arena-framed x there is no pad at all."""
+    if arena_in:
+        return conv3x3_wgrad(x, g, pa, pb, arena_in=True, interpret=interpret)
     pad_w = None
     if o <= _PACKED_LS:
         pad_w = padded_width(
@@ -100,8 +106,8 @@ def _bwd(interpret, res, g):
 conv3x3_bias_train.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def conv3x3_bias_stats_train(x, w, b, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_bias_stats_train(x, w, b, interpret=False, arena_out=False):
     """Like conv3x3_bias_train but also returns the BatchNorm batch
     statistics of y, computed in the kernel epilogue while the f32
     accumulator is in VMEM: (y, sum_c, sumsq_c) with the (O,) f32 per-channel
@@ -111,19 +117,34 @@ def conv3x3_bias_stats_train(x, w, b, interpret=False):
     cotangent before the shared dX/dW kernels:
         dL/dy_total = g_y + g_sum[c] + 2 * y * g_sumsq[c]
     (y is a residual; XLA dedupes it with BatchNorm's own saved activation).
+
+    arena_out: y is returned arena-framed (conv3x3_packed docstring) so a
+    fused consumer (conv3x3_bnact_stats_train with arena_hw) reads it with
+    no pad/slice pass between the kernels; the stats stay logical.
     """
-    y, stats = _conv_route(x, w, b, relu=False, with_stats=True, interpret=interpret)
+    y, stats = _conv_route(x, w, b, relu=False, with_stats=True,
+                           interpret=interpret, arena_out=arena_out)
     return y, stats[0], stats[1]
 
 
-def _stats_fwd(x, w, b, interpret):
-    y, s, ss = conv3x3_bias_stats_train(x, w, b, interpret)
+def _stats_fwd(x, w, b, interpret, arena_out=False):
+    y, s, ss = conv3x3_bias_stats_train(x, w, b, interpret, arena_out)
     return (y, s, ss), (x, w, y)
 
 
-def _stats_bwd(interpret, res, cotangents):
+def _stats_bwd(interpret, arena_out, res, cotangents):
     x, w, y = res
     gy, gsum, gsumsq = cotangents
+    if arena_out:
+        # y/gy are arena-framed; the garbage regions carry no gradient (the
+        # fused consumer's dx zeroes beyond-logical tiles and never writes
+        # the borders) but gsum broadcasting would make them nonzero — slice
+        # to logical before the elementwise fold. The slices fuse into the
+        # pad-rooted g_eff fusions feeding the adjoint/wgrad kernels.
+        h, w_ = x.shape[1], x.shape[2]
+        o = w.shape[-1]
+        gy = gy[:, 8 : 8 + h, 8 : 8 + w_, :o]
+        y = y[:, 8 : 8 + h, 8 : 8 + w_, :o]
     g_eff = (
         gy.astype(jnp.float32)
         + gsum[None, None, None, :]
@@ -140,8 +161,8 @@ def _stats_bwd(interpret, res, cotangents):
 conv3x3_bias_stats_train.defvjp(_stats_fwd, _stats_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def conv3x3_bnact_stats_train(x, pa, pb, w, b, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def conv3x3_bnact_stats_train(x, pa, pb, w, b, interpret=False, arena_hw=None):
     """Fused BN-apply + ReLU + conv + BN-stats, differentiable, Pallas on TPU:
 
         z = relu(pa * x + pb)          (per-channel affine, in-kernel)
@@ -155,21 +176,30 @@ def conv3x3_bnact_stats_train(x, pa, pb, w, b, interpret=False):
     BatchNorm affine folded to per-channel scale/shift:
         pa = gamma * rsqrt(var + eps),  pb = beta - mean * pa.
     Reference behavior being fused: model_parts.py:14-31 (Conv->BN->ReLU)*2.
+
+    arena_hw: logical (h, w) when x is the producer's ARENA-framed raw
+    output (conv3x3_bias_stats_train with arena_out) — the kernels then read
+    x (forward, dW, and the backward-epilogue residual) with no pad or slice
+    pass, and dx is returned arena-framed to match x's aval. Requires the
+    boundary to be <= 64 channels (packed kernels on every leg) and the
+    producer/adjoint tile covers to agree (models/parts.arena_compatible).
     """
     y, stats = _conv_route(
-        x, w, b, pa, pb, relu=False, with_stats=True, interpret=interpret
+        x, w, b, pa, pb, relu=False, with_stats=True, interpret=interpret,
+        logical_hw=arena_hw, arena_in=arena_hw is not None,
     )
     return y, stats[0], stats[1]
 
 
-def _bnact_fwd(x, pa, pb, w, b, interpret):
-    y, s, ss = conv3x3_bnact_stats_train(x, pa, pb, w, b, interpret)
+def _bnact_fwd(x, pa, pb, w, b, interpret, arena_hw=None):
+    y, s, ss = conv3x3_bnact_stats_train(x, pa, pb, w, b, interpret, arena_hw)
     return (y, s, ss), (x, pa, pb, w, y)
 
 
-def _bnact_bwd(interpret, res, cotangents):
+def _bnact_bwd(interpret, arena_hw, res, cotangents):
     x, pa, pb, w, y = res
     gy, gsum, gsumsq = cotangents
+    arena = arena_hw is not None
     g_eff = (
         gy.astype(jnp.float32)
         + gsum[None, None, None, :]
@@ -184,12 +214,17 @@ def _bnact_bwd(interpret, res, cotangents):
         # recompute, dx = mdz*pa scale, and the dpa/dpb reductions all run
         # while dz is still in the kernel's f32 accumulator — the separate
         # full-res elementwise pass + reduction re-read (measured 1.3 + 0.8
-        # ms per 608x968x64 boundary, hlo_stats) never touch HBM.
+        # ms per 608x968x64 boundary, hlo_stats) never touch HBM. With an
+        # arena residual, dx is emitted arena-framed (aval-matching x).
         dx, (dpa, dpb) = conv3x3_packed(
             g_eff, wt, zero_bias, pa, pb, x, relu=False, out_dtype=x.dtype,
             lane_stride=_PACKED_LS, interpret=interpret,
+            arena_in=arena, arena_out=arena,
         )
+        if arena:
+            assert dx.shape == x.shape, (dx.shape, x.shape)
     else:
+        assert not arena, "arena boundaries must be <= 64 channels"
         # Halo-kernel route (boundary > _PACKED_LS channels): mask in XLA.
         dz = _conv_route(g_eff, wt, zero_bias, relu=False, interpret=interpret)
         # Backward through z = relu(pa*x + pb): recompute the relu mask from
@@ -201,7 +236,7 @@ def _bnact_bwd(interpret, res, cotangents):
         dx = (mdz * pa).astype(x.dtype)
         dpa = jnp.sum(mdz * x32, axis=(0, 1, 2))
         dpb = jnp.sum(mdz, axis=(0, 1, 2))
-    dw = _wgrad(x, g_eff, w.shape[-1], interpret, pa, pb).astype(w.dtype)
+    dw = _wgrad(x, g_eff, w.shape[-1], interpret, pa, pb, arena_in=arena).astype(w.dtype)
     db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 1, 2))
     return dx, dpa, dpb, dw, db
 
