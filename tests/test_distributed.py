@@ -101,7 +101,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(180)
+# bounded internally by communicate(timeout=150); pytest-timeout is not installed
 def test_two_process_init_and_psum(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = tmp_path / "worker.py"
@@ -130,7 +130,7 @@ def test_two_process_init_and_psum(tmp_path):
         assert f"RESULT {i} 2 2.0" in out, out
 
 
-@pytest.mark.timeout(420)
+# bounded internally by communicate(timeout=400)
 def test_two_process_mesh_train_step(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = tmp_path / "train_worker.py"
