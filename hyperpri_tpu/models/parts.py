@@ -32,10 +32,14 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 # Gate defaults for the trainable Pallas conv route (measured; see Conv3x3).
+# Single source of truth: Conv3x3's field defaults and _packed_train_route
+# both read these, and the packed-route split is imported from conv_train so
+# the wiring predicate can never drift from the route the conv actually takes.
+from hyperpri_tpu.ops.pallas.conv_train import _PACKED_LS as PACKED_MAX_O
+
 PALLAS_MIN_PIXELS = 30_000
 PALLAS_MIN_CHANNELS = 32
 PALLAS_MAX_CHANNELS = 256
-PACKED_MAX_O = 64  # conv3x3_packed lane-stride route (conv_train._PACKED_LS)
 
 
 def _packed_train_route(h, w, c, o, pallas_train, train, spatial_mesh,
@@ -76,8 +80,10 @@ def arena_compatible(h, w, c1, o1, o2, dtype, prologue1=False):
     th2, tw2 = fit_tiles(h, w, o1, o2, dtype, dtype, prologue=True, arena_in=True)
     if th2 != 8:
         return False
-    n_h2, n_w2 = -(-h // th2), -(-w // tw2)
-    return n_h2 * th2 == e1[0] and n_w2 * tw2 <= e1[1]
+    # H covers agree by construction (both th are 8 here, so both spans are
+    # round_up(h, 8)); only the consumer's W tile cover can exceed the
+    # producer's extent.
+    return -(-w // tw2) * tw2 <= e1[1]
 
 
 class TorchBatchNorm(nn.Module):
@@ -220,11 +226,12 @@ class Conv3x3(nn.Module):
     features: int
     pallas_train: bool = False
     spatial_mesh: Any = None  # H-sharded SPMD: explicit halo-exchange conv
-    min_pixels: int = 30_000  # H*W gate: covers the 152x242 stage (in-graph
-    # XLA runs those convs at 8.7 TF/s vs ~60 standalone — layout pathology;
-    # extending Pallas there measures 114.6 -> 112.9 ms/step on CubeNET)
-    min_channels: int = 32  # tiny-C convs (UNet RGB stem) waste the 128-lane K
-    max_channels: int = 256  # deep-channel tiles are already MXU-efficient in XLA
+    min_pixels: int = PALLAS_MIN_PIXELS  # H*W gate: covers the 152x242 stage
+    # (in-graph XLA runs those convs at 8.7 TF/s vs ~60 standalone — layout
+    # pathology; extending Pallas there measures 114.6 -> 112.9 ms/step)
+    min_channels: int = PALLAS_MIN_CHANNELS  # tiny-C convs (UNet RGB stem)
+    # waste the 128-lane K
+    max_channels: int = PALLAS_MAX_CHANNELS  # deep tiles are MXU-efficient in XLA
     # (512 measured twice in-graph: 102.25/101.48 vs 101.63/100.78 ms — no win;
     # the halo kernel's H-tile collapses to 4-8 rows at cp=512 and its halo
     # re-load overhead cancels the layout-boundary savings)

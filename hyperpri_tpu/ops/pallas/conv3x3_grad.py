@@ -193,7 +193,7 @@ def conv3x3_wgrad(
         n = x.shape[0]
         gn, h, width, o = g.shape
         assert gn == n, (x.shape, g.shape)
-        c = x.shape[-1] if pa is None else pa.shape[0]
+        c = pa.shape[0]
     else:
         n, h, width, c = x.shape
         gn, gh, gw, o = g.shape
