@@ -40,13 +40,17 @@ _PACK = 64  # dw-pack stride (see dw_pack below)
 
 def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
                   prologue: bool = False, dw_pack: bool = False,
-                  arena_x: bool = False):
+                  arena_x: bool = False, fold: bool = False):
     refs = list(refs)
     x_ref = refs.pop(0)
     g_ref = refs.pop(0)
+    y_ref = refs.pop(0) if fold else None
+    gs_ref = refs.pop(0) if fold else None
+    gss_ref = refs.pop(0) if fold else None
     pa_ref = refs.pop(0) if prologue else None
     pb_ref = refs.pop(0) if prologue else None
     o_ref = refs.pop(0)
+    db_ref = refs.pop(0) if fold else None
     z_ref = refs.pop(0) if prologue else None
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
@@ -54,6 +58,8 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
     @pl.when(first)
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
+        if fold:
+            db_ref[...] = jnp.zeros_like(db_ref)
 
     i = pl.program_id(1)
     if prologue:
@@ -92,7 +98,26 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
     col = jax.lax.broadcasted_iota(jnp.int32, (th, wo, 1), 1)
     valid = jnp.logical_and(row < h - i * th, col < w)
     op = g_ref.shape[-1]
-    g2m = jnp.where(valid, g_ref[0], 0)
+    if fold:
+        # Fused BN-stats cotangent: the effective output cotangent of a
+        # stats-collecting conv (conv_train._stats_bwd/_bnact_bwd) is
+        #   g_eff = gy + gsum + 2 * y * gsumsq
+        # — computed HERE from the raw gy and the saved pre-activation y
+        # instead of XLA materializing a full-resolution g_eff tensor just
+        # to feed this kernel's raw read (measured ~1.3 ms per 608x968x64
+        # leg, hlo_stats). db = sum(g_eff) rides along in db_ref so the
+        # reduction never re-reads HBM either. Mask the raw inputs BEFORE
+        # the arithmetic (clamp/arena garbage can be NaN, and the gsum
+        # broadcast would make out-of-range pixels nonzero); cast to the
+        # cotangent dtype before the dots for bit-parity with the
+        # materialized path.
+        gm = jnp.where(valid, g_ref[0].astype(jnp.float32), 0.0)
+        ym = jnp.where(valid, y_ref[0].astype(jnp.float32), 0.0)
+        ge = jnp.where(valid, gm + gs_ref[0, :] + 2.0 * ym * gss_ref[0, :], 0.0)
+        g2m = ge.astype(g_ref.dtype)
+        db_ref[0:1, :] += jnp.sum(g2m.astype(jnp.float32), axis=(0, 1)).reshape(1, op)
+    else:
+        g2m = jnp.where(valid, g_ref[0], 0)
 
     if dw_pack:
         # O <= 64 route: the N=64 dots leave half the MXU lanes idle (same
@@ -153,18 +178,24 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
                 )
 
 
-@functools.partial(jax.jit, static_argnames=("th", "pad_w_to", "interpret", "arena_in"))
+@functools.partial(jax.jit, static_argnames=("th", "pad_w_to", "interpret",
+                                              "arena_in", "arena_g", "logical_hw"))
 def conv3x3_wgrad(
     x: jnp.ndarray,
     g: jnp.ndarray,
     pa: Optional[jnp.ndarray] = None,
     pb: Optional[jnp.ndarray] = None,
     *,
+    y: Optional[jnp.ndarray] = None,
+    gsum: Optional[jnp.ndarray] = None,
+    gsumsq: Optional[jnp.ndarray] = None,
     th: int = 16,
     pad_w_to: Optional[int] = None,
     interpret: bool = False,
     arena_in: bool = False,
-) -> jnp.ndarray:
+    arena_g: bool = False,
+    logical_hw: Optional[tuple] = None,
+):
     """dW (3, 3, C, O) f32 for y = conv3x3_same(act_in(x), w), given
     cotangent g.
 
@@ -186,14 +217,39 @@ def conv3x3_wgrad(
     and read with NO pad pass: 8-aligned windows realigned by a static +7
     shift in the prologue scratch copy (prologue required — the arena's
     borders/garbage must be masked). Logical (h, w) come from g.
+
+    y/gsum/gsumsq ("fold" mode): g is the RAW gy cotangent of a
+    stats-collecting conv and y its saved pre-activation output; the kernel
+    computes the effective cotangent g_eff = gy + gsum + 2*y*gsumsq (and
+    db = sum(g_eff)) in VMEM instead of reading a materialized g_eff.
+    Returns (dW, db) instead of dW.
+
+    arena_g: g AND y are arena-framed (the stats conv ran with arena_out);
+    requires fold + logical_hw. Their +8-offset windows are read raw with
+    the beyond-logical garbage masked in-kernel — no slice pass.
     """
+    fold = y is not None
+    if fold:
+        assert gsum is not None and gsumsq is not None
+        assert y.shape == g.shape and y.dtype == g.dtype, (y.shape, g.shape)
+    if arena_g:
+        assert fold and logical_hw is not None, "arena_g requires fold + logical_hw"
     if arena_in:
         assert pa is not None, "arena_in x requires the masking prologue"
         assert pad_w_to is None, "arena_in reads raw — no pad to share"
         n = x.shape[0]
-        gn, h, width, o = g.shape
-        assert gn == n, (x.shape, g.shape)
         c = pa.shape[0]
+        if arena_g:
+            h, width = logical_hw
+            o = gsum.shape[0]
+        else:
+            gn, h, width, o = g.shape
+            assert gn == n, (x.shape, g.shape)
+    elif arena_g:
+        n, h, width, c = x.shape
+        assert (h, width) == tuple(logical_hw), (x.shape, logical_hw)
+        o = gsum.shape[0]
+        assert g.shape[0] == n, (x.shape, g.shape)
     else:
         n, h, width, c = x.shape
         gn, gh, gw, o = g.shape
@@ -222,6 +278,15 @@ def conv3x3_wgrad(
         # read from col 0 — the arena's full W extent covers it exactly.
         assert x.shape[1] >= _round_up(h, th) + 9 and x.shape[2] >= wo + 16, (
             x.shape, (h, width))
+    if arena_g:
+        # g/y windows sit at the +8 arena frame offset (logical row i*th is
+        # physical 8+i*th); the tile cover must stay within the producer's
+        # extent (+16 slack splits as 8 top border + 8 bottom).
+        while th > 8 and _round_up(h, th) > g.shape[1] - 16:
+            th //= 2
+        assert th % 8 == 0, th
+        assert g.shape[1] - 16 >= _round_up(h, th) and g.shape[2] >= wo + 8, (
+            g.shape, (h, width))
     # O <= 64: fold the three dw taps into the dot's N dimension (N=192)
     # instead of 9 half-lane N=64 dots — see _wgrad_kernel. Needs the x
     # window to span wo+8 columns, which wb always covers (wo is a multiple
@@ -232,12 +297,13 @@ def conv3x3_wgrad(
         esz = x.dtype.itemsize
         x_b = 2 * (th_ + 2) * wb * cp * esz
         g_b = 2 * th_ * wo * op * g.dtype.itemsize
+        y_b = g_b if fold else 0
         o_b = 9 * cp * op * 4
         z_b = (th_ + 2) * wb * cp * esz if prologue else 0
         r_b = th_ * (wo + 8) * 3 * _PACK * g.dtype.itemsize if dw_pack else 0
-        return x_b + g_b + o_b + z_b + r_b
+        return x_b + g_b + y_b + o_b + z_b + r_b
 
-    while th > (8 if arena_in else 4) and vmem_bytes(th) > 12 * 1024 * 1024:
+    while th > (8 if (arena_in or arena_g) else 4) and vmem_bytes(th) > 12 * 1024 * 1024:
         th //= 2
 
     n_h_blocks = pl.cdiv(h, th)
@@ -252,18 +318,17 @@ def conv3x3_wgrad(
         # fault (measured) — so ragged H (or a non-8-multiple channel count)
         # falls back to an explicit zero-pad.
         xp = jnp.pad(x, ((0, 0), (1, bottom), (1, wb - width - 1), (0, cp - c)))
-    if n_h_blocks * th == h and op == o:
-        gp = g
+    if arena_g or (n_h_blocks * th == h and op == o):
+        gp, yp = g, y
     else:
-        gp = jnp.pad(
-            g,
-            ((0, 0), (0, n_h_blocks * th - h), (0, wo - width), (0, op - o)),
-        )
+        gpad = ((0, 0), (0, n_h_blocks * th - h), (0, wo - width), (0, op - o))
+        gp = jnp.pad(g, gpad)
+        yp = jnp.pad(y, gpad) if fold else None
 
     grid = (n, n_h_blocks)
     kernel = functools.partial(
         _wgrad_kernel, th=th, wo=wo, h=h, w=width, n_chunks=n_chunks,
-        prologue=prologue, dw_pack=dw_pack, arena_x=arena_in,
+        prologue=prologue, dw_pack=dw_pack, arena_x=arena_in, fold=fold,
     )
     flops = 2 * n * h * width * c * o * 9
 
@@ -279,14 +344,29 @@ def conv3x3_wgrad(
             lambda bn, i: (bn, i * th, 0, 0),
             memory_space=pltpu.VMEM,
         )
-    g_spec = pl.BlockSpec(
-        (Element(1), Element(th), Element(wo), Element(op)),
-        lambda bn, i: (bn, i * th, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    if arena_g:
+        gl = g.shape[-1]
+        g_spec = pl.BlockSpec(
+            (Element(1), Element(th), Element(wo), Element(gl)),
+            lambda bn, i: (bn, (i * (th // 8) + 1) * 8, 8, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        gl = op
+        g_spec = pl.BlockSpec(
+            (Element(1), Element(th), Element(wo), Element(op)),
+            lambda bn, i: (bn, i * th, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     in_specs = [x_spec, g_spec]
     operands = [xp, gp]
     scratch_shapes = []
+    if fold:
+        gsp = jnp.broadcast_to(jnp.pad(gsum.astype(jnp.float32), (0, gl - o)), (8, gl))
+        gssp = jnp.broadcast_to(jnp.pad(gsumsq.astype(jnp.float32), (0, gl - o)), (8, gl))
+        sspec = pl.BlockSpec((8, gl), lambda bn, i: (0, 0), memory_space=pltpu.VMEM)
+        in_specs += [g_spec, sspec, sspec]
+        operands += [yp, gsp, gssp]
     if prologue:
         al = x.shape[-1] if arena_in else cp
         pap = jnp.broadcast_to(jnp.pad(pa.astype(jnp.float32), (0, al - c)), (8, al))
@@ -295,18 +375,29 @@ def conv3x3_wgrad(
         in_specs += [cspec, cspec]
         operands += [pap, pbp]
         scratch_shapes.append(pltpu.VMEM((th + 2, wb, cp), x.dtype))
+    dw_spec = pl.BlockSpec(
+        (3, 3, cp, op), lambda bn, i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    dw_shape = jax.ShapeDtypeStruct((3, 3, cp, op), jnp.float32)
+    if fold:
+        out_specs = (
+            dw_spec,
+            pl.BlockSpec((8, gl), lambda bn, i: (0, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (dw_shape, jax.ShapeDtypeStruct((8, gl), jnp.float32))
+    else:
+        out_specs, out_shape = dw_spec, dw_shape
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (3, 3, cp, op), lambda bn, i: (0, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, 3, cp, op), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=x.size * x.dtype.itemsize + g.size * g.dtype.itemsize,
+            bytes_accessed=x.size * x.dtype.itemsize
+            + g.size * g.dtype.itemsize * (2 if fold else 1),
             transcendentals=0,
         ),
         # Arena windows are sublane-unaligned (8-offsets in 16-row bf16
@@ -314,8 +405,11 @@ def conv3x3_wgrad(
         # vmem_bytes models (measured 20.4M at th=8, 608x968x64->64) — the
         # 16M default cap rejects a kernel that fits v5e's 128M VMEM fine.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
-        if arena_in
+        if (arena_in or arena_g)
         else None,
         interpret=interpret,
     )(*operands)
+    if fold:
+        dw, db = out
+        return dw[:, :, :c, :o], db[0, :o]
     return out[:, :, :c, :o]

@@ -138,6 +138,47 @@ def test_arena_chain_values_and_grads_match_logical(rng, n, h, w, c1, o1, o2):
         )
 
 
+@pytest.mark.parametrize("n,h,w,o1,o2,arena", [
+    (1, 16, 24, 64, 64, False),
+    (2, 13, 21, 20, 24, False),   # ragged H: padded fold path
+    (1, 16, 24, 64, 64, True),    # arena-framed gy/y raw reads
+    (2, 13, 21, 20, 24, True),
+])
+def test_wgrad_geff_fold_matches_materialized(rng, n, h, w, o1, o2, arena):
+    """Fold mode (g_eff = gy + gsum + 2y*gsumsq and db computed IN the wgrad
+    kernel from raw gy/y) must match the materialized-g_eff path exactly,
+    including with arena-framed cotangents (NaN borders)."""
+    x1 = jnp.asarray(rng.normal(size=(n, h, w, o1)).astype(np.float32))
+    gy = jnp.asarray(rng.normal(size=(n, h, w, o2)).astype(np.float32))
+    yv = jnp.asarray(rng.normal(size=(n, h, w, o2)).astype(np.float32))
+    gs = jnp.asarray(rng.normal(size=(o2,)).astype(np.float32))
+    gss = jnp.asarray((rng.normal(size=(o2,)) * 0.1).astype(np.float32))
+    pa = jnp.asarray(rng.normal(size=(o1,)).astype(np.float32))
+    pb = jnp.asarray((rng.normal(size=(o1,)) * 0.1).astype(np.float32))
+
+    g_eff = gy + gs + 2.0 * yv * gss
+    dw_ref = conv3x3_wgrad(x1, g_eff, pa, pb, interpret=True)
+    db_ref = jnp.sum(g_eff, axis=(0, 1, 2))
+
+    if arena:
+        eh, ew = arena_extent(h, w, 16, o2, jnp.float32, jnp.float32)
+        if (eh, ew) == (None, None) or eh is None:
+            pytest.skip("no arena extent at this shape")
+        op2 = ((o2 + 7) // 8) * 8
+        gya = _embed_arena(gy, eh, ew, op2)
+        ya = _embed_arena(yv, eh, ew, op2)
+        dw, db = conv3x3_wgrad(
+            x1, gya, pa, pb, y=ya, gsum=gs, gsumsq=gss,
+            arena_g=True, logical_hw=(h, w), interpret=True,
+        )
+    else:
+        dw, db = conv3x3_wgrad(
+            x1, gy, pa, pb, y=yv, gsum=gs, gsumsq=gss, interpret=True,
+        )
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), rtol=1e-4, atol=1e-4)
+
+
 def test_arena_compatible_model_shapes():
     # the production full-res boundaries must qualify (608x968, th=8, tw=488)
     assert arena_compatible(608, 968, 238, 64, 64, jnp.bfloat16)
