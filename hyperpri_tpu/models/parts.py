@@ -264,7 +264,8 @@ class Conv3x3(nn.Module):
             tap-packed kernel, wider ones the halo kernel;
           - eval: XLA (whole-model measurement; see use_packed_eval below)."""
         if arena_hw is not None:
-            assert prologue is not None, "arena input needs the masking prologue"
+            if prologue is None:
+                raise ValueError("arena input needs the masking prologue")
             c = prologue[0].shape[-1]
             h_log, w_log = arena_hw
         else:
@@ -288,10 +289,14 @@ class Conv3x3(nn.Module):
         )
         if arena_out or arena_hw is not None:
             # wiring (DoubleConv/_fused_single_boundary) only requests arena
-            # when the packed trainable route is certain
-            assert use_pallas and self.features <= PACKED_MAX_O, (
-                arena_out, arena_hw, use_pallas, self.features)
-            assert collect_stats and (arena_hw is None or prologue is not None)
+            # when the packed trainable route is certain; raise (not assert)
+            # so a miswire fails cleanly even under `python -O`
+            if not (use_pallas and self.features <= PACKED_MAX_O):
+                raise ValueError(
+                    f"arena requested off the packed route: use_pallas={use_pallas}, "
+                    f"features={self.features}, arena_out={arena_out}, arena_hw={arena_hw}")
+            if not (collect_stats and (arena_hw is None or prologue is not None)):
+                raise ValueError("arena conv requires collect_stats and a masking prologue")
         # Eval stays on XLA: the tap-packed kernel wins per-op at C>64/O<=64
         # (first conv 7.2 vs 10.9 ms) but measured SLOWER composed into the
         # batch-1 serving graph (38.7 vs 60.0 cubes/s whole-model) — XLA's

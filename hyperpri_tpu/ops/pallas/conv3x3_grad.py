@@ -232,11 +232,15 @@ def conv3x3_wgrad(
     if fold:
         assert gsum is not None and gsumsq is not None
         assert y.shape == g.shape and y.dtype == g.dtype, (y.shape, g.shape)
-    if arena_g:
-        assert fold and logical_hw is not None, "arena_g requires fold + logical_hw"
+    # Arena invariants raise (not assert): a wiring bug here becomes raw
+    # out-of-bounds TPU window reads under `python -O`, not a clean error.
+    if arena_g and (not fold or logical_hw is None):
+        raise ValueError("arena_g requires fold + logical_hw")
     if arena_in:
-        assert pa is not None, "arena_in x requires the masking prologue"
-        assert pad_w_to is None, "arena_in reads raw — no pad to share"
+        if pa is None:
+            raise ValueError("arena_in x requires the masking prologue")
+        if pad_w_to is not None:
+            raise ValueError("arena_in reads raw — no pad to share")
         n = x.shape[0]
         c = pa.shape[0]
         if arena_g:
@@ -273,20 +277,26 @@ def conv3x3_wgrad(
         # diverge. Offsets i*th stay 8-divisible for th in {8, 16}.
         while th > 8 and _round_up(h, th) + 9 > x.shape[1]:
             th //= 2
-        assert th % 8 == 0, th
+        if th % 8 != 0:
+            raise ValueError(f"arena_in th must be 8-divisible, got {th}")
         # W window is wb+8 = wo+16 (8-divisible per Mosaic's block rule),
         # read from col 0 — the arena's full W extent covers it exactly.
-        assert x.shape[1] >= _round_up(h, th) + 9 and x.shape[2] >= wo + 16, (
-            x.shape, (h, width))
+        if x.shape[1] < _round_up(h, th) + 9 or x.shape[2] < wo + 16:
+            raise ValueError(
+                f"arena extent {x.shape} < wgrad tile cover "
+                f"{(_round_up(h, th) + 9, wo + 16)} for logical {(h, width)}")
     if arena_g:
         # g/y windows sit at the +8 arena frame offset (logical row i*th is
         # physical 8+i*th); the tile cover must stay within the producer's
         # extent (+16 slack splits as 8 top border + 8 bottom).
         while th > 8 and _round_up(h, th) > g.shape[1] - 16:
             th //= 2
-        assert th % 8 == 0, th
-        assert g.shape[1] - 16 >= _round_up(h, th) and g.shape[2] >= wo + 8, (
-            g.shape, (h, width))
+        if th % 8 != 0:
+            raise ValueError(f"arena_g th must be 8-divisible, got {th}")
+        if g.shape[1] - 16 < _round_up(h, th) or g.shape[2] < wo + 8:
+            raise ValueError(
+                f"arena g extent {g.shape} < wgrad tile cover "
+                f"{(_round_up(h, th) + 16, wo + 8)} for logical {(h, width)}")
     # O <= 64: fold the three dw taps into the dot's N dimension (N=192)
     # instead of 9 half-lane N=64 dots — see _wgrad_kernel. Needs the x
     # window to span wo+8 columns, which wb always covers (wo is a multiple

@@ -331,7 +331,8 @@ def conv3x3_packed(
     n = x.shape[0]
     c = w.shape[2]
     if arena_in and prologue:
-        assert logical_hw is not None, "arena_in prologue needs logical_hw"
+        if logical_hw is None:
+            raise ValueError("arena_in prologue needs logical_hw")
         h, width = logical_hw
         opx = x.shape[-1]
         assert opx >= c and opx % 8 == 0, (x.shape, c)
@@ -347,7 +348,8 @@ def conv3x3_packed(
     if bwd:
         assert not relu and not with_stats and pa is not None
         if arena_in:
-            assert bwd_x.shape[0] == n and bwd_x.shape[-1] >= o, bwd_x.shape
+            if bwd_x.shape[0] != n or bwd_x.shape[-1] < o:
+                raise ValueError(f"arena bwd_x {bwd_x.shape} mismatches (n={n}, o={o})")
         else:
             assert bwd_x.shape == (n, h, width, o), (bwd_x.shape, (n, h, width, o))
 
@@ -361,8 +363,10 @@ def conv3x3_packed(
                        th=th, tw=tw, lane_stride=ls, prologue=prologue,
                        affine_bwd=bwd, arena_in=arena_in and prologue)
     twb = tw + 8
-    if arena_out or arena_in:
-        assert th == 8, (th, "arena offsets must be 8-divisible")
+    # Arena invariants raise (not assert): a wiring bug here becomes raw
+    # out-of-bounds TPU window reads under `python -O`, not a clean error.
+    if (arena_out or arena_in) and th != 8:
+        raise ValueError(f"arena offsets must be 8-divisible, got th={th}")
 
     n_h = pl.cdiv(h, th)
     n_w = pl.cdiv(width, tw)
@@ -372,9 +376,11 @@ def conv3x3_packed(
         # because Mosaic requires the block's second-to-last dim to be
         # 8-divisible. The last windows reach (n_h*th+9, n_w*tw+16), which
         # the arena's +16 slack covers iff the producer's extent is
-        # >= this kernel's tile cover (checked at wiring time, asserted here).
-        assert x.shape[1] >= n_h * th + 9 and x.shape[2] >= n_w * tw + 16, (
-            x.shape, (n_h * th, n_w * tw))
+        # >= this kernel's tile cover (checked at wiring time, re-checked here).
+        if x.shape[1] < n_h * th + 9 or x.shape[2] < n_w * tw + 16:
+            raise ValueError(
+                f"arena extent {x.shape} < consumer tile cover "
+                f"{(n_h * th + 9, n_w * tw + 16)}")
         xp = x
     else:
         # Pad: 1-px SAME border top/left; bottom/right so every Element window

@@ -55,7 +55,8 @@ def _conv_route(x, w, b, pa=None, pb=None, *, relu, with_stats=False,
             with_stats=with_stats, interpret=interpret,
             logical_hw=logical_hw, arena_in=arena_in, arena_out=arena_out,
         )
-    assert not (arena_in or arena_out), "arena geometry is packed-route only"
+    if arena_in or arena_out:
+        raise ValueError("arena geometry is packed-route only")
     return conv3x3_bias_act(
         x, w, b, pa, pb, relu=relu, out_dtype=x.dtype, with_stats=with_stats,
         interpret=interpret,
@@ -224,7 +225,8 @@ def _bnact_bwd(interpret, arena_hw, res, cotangents):
         if arena:
             assert dx.shape == x.shape, (dx.shape, x.shape)
     else:
-        assert not arena, "arena boundaries must be <= 64 channels"
+        if arena:
+            raise ValueError("arena boundaries must be <= 64 channels")
         # Halo-kernel route (boundary > _PACKED_LS channels): mask in XLA.
         dz = _conv_route(g_eff, wt, zero_bias, relu=False, interpret=interpret)
         # Backward through z = relu(pa*x + pb): recompute the relu mask from

@@ -97,16 +97,24 @@ def _eval_loader(data, cfg, trainer) -> DataLoader:
     )
 
 
+# Ceiling on how many decoded cubes the segmap-eval LRU may pin in host RAM
+# (~0.5 GB per f32 cube -> ~8 GB worst case). Splits larger than this fall
+# back to per-batch reloads, the pre-cache behavior.
+SEGMAP_CACHE_ITEMS_CAP = 16
+
+
 @contextlib.contextmanager
 def _segmap_image_cache(dataset, enabled: bool):
     """Hold decoded images in the dataset LRU across the predict + segmap
     passes so each cube is decoded at most once per eval (the segmap pass
     would otherwise re-read ~267 MB ENVI per displayed image). Sized to the
-    split — eval splits are ~14 val / ~8 test images; restored on exit."""
+    split — eval splits are ~14 val / ~8 test images — but capped at
+    SEGMAP_CACHE_ITEMS_CAP cubes of host RAM; restored on exit."""
     if not enabled or not hasattr(dataset, "set_cache_items"):
         yield
         return
-    old = dataset.set_cache_items(max(len(dataset), dataset._cache_items))
+    wanted = min(len(dataset), SEGMAP_CACHE_ITEMS_CAP)
+    old = dataset.set_cache_items(max(wanted, dataset._cache_items))
     try:
         yield
     finally:
@@ -127,55 +135,53 @@ def validate_net(
     state = _load_eval_state(trainer, cfg, state)
     loader = _eval_loader(val_data, cfg, trainer)
 
+    # The cache context spans predict + render so each cube decodes at most
+    # once when the split fits the capped LRU; larger splits reload per batch.
     with _segmap_image_cache(val_data, save_segmaps):
         flat_logits, flat_masks, batches = _gather_predictions(trainer, loader, state)
+        logits_d = jnp.asarray(flat_logits)
+        masks_d = jnp.asarray(flat_masks)
+
+        bce = bce_with_logits(logits_d, masks_d)
+        probs = jax.nn.sigmoid(logits_d)
+        precision, recall, thresholds = pr_curve(probs, masks_d, n_thresholds)
+        best_thr, curve_prec, curve_rec = best_threshold_from_pr(precision, recall, thresholds)
+        best_thr_f = float(best_thr)
+
+        best_acc = binary_accuracy(probs, masks_d, best_thr_f)
+        # Safe division: a degenerate curve point with P=R=0 (e.g. a model that
+        # predicts nothing positive) must report dice 0.0, not NaN. The reference
+        # shares the unguarded form (PLTrainer.py:556-557); divergence intended.
+        pr_sum = curve_prec + curve_rec
+        best_dice = jnp.where(pr_sum > 0, 2 * curve_prec * curve_rec / jnp.maximum(pr_sum, 1e-12), 0.0)
+        best_iou = binary_jaccard(probs, masks_d, best_thr_f)
+        ap = average_precision(probs, masks_d)
+        conf = confusion_matrix(probs, masks_d, best_thr_f, normalize=True)
+
+        if verbose:
+            print(f"\n{cfg.model_name}\n   Best Threshold {best_thr_f:.3f}:")
+            print(f"      BCE Loss : {float(bce):.3f}")
+            print(f"      Pixel Acc: {float(best_acc):.3f}")
+            print(f"      Precision: {float(curve_prec):.3f}")
+            print(f"      Recall   : {float(curve_rec):.3f}")
+            print(f"      DICE     : {float(best_dice):.3f}")
+            print(f"      +IOU     : {float(best_iou):.3f}")
+            print(f"      Avg Prec : {float(ap):.3f}\n")
+            conf_np = np.asarray(conf)
+            print(f"      Conf Mat : {conf_np[0].tolist()}")
+            print(f"                 {conf_np[1].tolist()}")
+
+        _save_pr_plot(recall, precision, float(ap), os.path.join(cfg.save_path, "pr_curve.png"))
+        precision = patch_pr_tail(precision)
+
         if save_segmaps:
-            segmap_images = {
-                b_i: _reload_images(val_data, names, valid)
-                for b_i, (_, _, valid, names) in enumerate(batches)
-            }
-    logits_d = jnp.asarray(flat_logits)
-    masks_d = jnp.asarray(flat_masks)
-
-    bce = bce_with_logits(logits_d, masks_d)
-    probs = jax.nn.sigmoid(logits_d)
-    precision, recall, thresholds = pr_curve(probs, masks_d, n_thresholds)
-    best_thr, curve_prec, curve_rec = best_threshold_from_pr(precision, recall, thresholds)
-    best_thr_f = float(best_thr)
-
-    best_acc = binary_accuracy(probs, masks_d, best_thr_f)
-    # Safe division: a degenerate curve point with P=R=0 (e.g. a model that
-    # predicts nothing positive) must report dice 0.0, not NaN. The reference
-    # shares the unguarded form (PLTrainer.py:556-557); divergence intended.
-    pr_sum = curve_prec + curve_rec
-    best_dice = jnp.where(pr_sum > 0, 2 * curve_prec * curve_rec / jnp.maximum(pr_sum, 1e-12), 0.0)
-    best_iou = binary_jaccard(probs, masks_d, best_thr_f)
-    ap = average_precision(probs, masks_d)
-    conf = confusion_matrix(probs, masks_d, best_thr_f, normalize=True)
-
-    if verbose:
-        print(f"\n{cfg.model_name}\n   Best Threshold {best_thr_f:.3f}:")
-        print(f"      BCE Loss : {float(bce):.3f}")
-        print(f"      Pixel Acc: {float(best_acc):.3f}")
-        print(f"      Precision: {float(curve_prec):.3f}")
-        print(f"      Recall   : {float(curve_rec):.3f}")
-        print(f"      DICE     : {float(best_dice):.3f}")
-        print(f"      +IOU     : {float(best_iou):.3f}")
-        print(f"      Avg Prec : {float(ap):.3f}\n")
-        conf_np = np.asarray(conf)
-        print(f"      Conf Mat : {conf_np[0].tolist()}")
-        print(f"                 {conf_np[1].tolist()}")
-
-    _save_pr_plot(recall, precision, float(ap), os.path.join(cfg.save_path, "pr_curve.png"))
-    precision = patch_pr_tail(precision)
-
-    if save_segmaps:
-        for b_i, (logits, masks, valid, names) in enumerate(batches):
-            eval_color_segmaps(
-                segmap_images[b_i], names, logits, masks, cfg.fig_dir,
-                dataset=cfg.dataset, model_param_str=cfg.model_param_str,
-                threshold=best_thr_f, valid=valid,
-            )
+            for logits, masks, valid, names in batches:
+                eval_color_segmaps(
+                    _reload_images(val_data, names, valid), names, logits, masks,
+                    cfg.fig_dir, dataset=cfg.dataset,
+                    model_param_str=cfg.model_param_str,
+                    threshold=best_thr_f, valid=valid,
+                )
 
     return np.asarray(precision), np.asarray(recall), np.asarray(thresholds)
 
@@ -196,39 +202,35 @@ def test_net(
 
     with _segmap_image_cache(test_data, save_segmaps):
         flat_logits, flat_masks, batches = _gather_predictions(trainer, loader, state)
+        probs = jax.nn.sigmoid(jnp.asarray(flat_logits))
+        masks_d = jnp.asarray(flat_masks)
+        thr = float(best_threshold)
+
+        results = {
+            "pix_acc": float(binary_accuracy(probs, masks_d, thr)),
+            "dice": float(binary_dice(probs, masks_d, thr, zero_division=1e-12)),
+            "pos_iou": float(binary_jaccard(probs, masks_d, thr)),
+            "avg_prec": float(average_precision(probs, masks_d)),
+            "conf_mat": np.asarray(confusion_matrix(probs, masks_d, thr, normalize=True)),
+            "threshold": thr,
+        }
+        if verbose:
+            print(f"Threshold {thr:.3f}:")
+            print(f"      Pixel Acc: {results['pix_acc']:.3f}")
+            print(f"      DICE     : {results['dice']:.3f}")
+            print(f"      +IOU     : {results['pos_iou']:.3f}")
+            print(f"      Avg Prec : {results['avg_prec']:.3f}\n")
+            print(f"      Conf Mat : {results['conf_mat'][0].tolist()}")
+            print(f"                 {results['conf_mat'][1].tolist()}")
+
         if save_segmaps:
-            segmap_images = {
-                b_i: _reload_images(test_data, names, valid)
-                for b_i, (_, _, valid, names) in enumerate(batches)
-            }
-    probs = jax.nn.sigmoid(jnp.asarray(flat_logits))
-    masks_d = jnp.asarray(flat_masks)
-    thr = float(best_threshold)
-
-    results = {
-        "pix_acc": float(binary_accuracy(probs, masks_d, thr)),
-        "dice": float(binary_dice(probs, masks_d, thr, zero_division=1e-12)),
-        "pos_iou": float(binary_jaccard(probs, masks_d, thr)),
-        "avg_prec": float(average_precision(probs, masks_d)),
-        "conf_mat": np.asarray(confusion_matrix(probs, masks_d, thr, normalize=True)),
-        "threshold": thr,
-    }
-    if verbose:
-        print(f"Threshold {thr:.3f}:")
-        print(f"      Pixel Acc: {results['pix_acc']:.3f}")
-        print(f"      DICE     : {results['dice']:.3f}")
-        print(f"      +IOU     : {results['pos_iou']:.3f}")
-        print(f"      Avg Prec : {results['avg_prec']:.3f}\n")
-        print(f"      Conf Mat : {results['conf_mat'][0].tolist()}")
-        print(f"                 {results['conf_mat'][1].tolist()}")
-
-    if save_segmaps:
-        for b_i, (logits, masks, valid, names) in enumerate(batches):
-            eval_color_segmaps(
-                segmap_images[b_i], names, logits, masks, cfg.fig_dir,
-                dataset=cfg.dataset, model_param_str=cfg.model_param_str,
-                threshold=thr, valid=valid,
-            )
+            for logits, masks, valid, names in batches:
+                eval_color_segmaps(
+                    _reload_images(test_data, names, valid), names, logits, masks,
+                    cfg.fig_dir, dataset=cfg.dataset,
+                    model_param_str=cfg.model_param_str,
+                    threshold=thr, valid=valid,
+                )
     return results
 
 

@@ -62,11 +62,17 @@ class ExperimentLogger:
         rows = []
         try:
             with open(self.csv_path, newline="") as f:
-                rows = list(csv.DictReader(f))
+                # restkey collects cells beyond the header (a legacy file whose
+                # data rows are wider than its header row); drop them instead
+                # of letting the rewrite below crash on a None fieldname.
+                rows = [
+                    {k: v for k, v in row.items() if k is not None}
+                    for row in csv.DictReader(f, restkey=None)
+                ]
         except OSError:
             pass
         with open(self.csv_path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fieldnames, restval="")
+            w = csv.DictWriter(f, fieldnames=self._fieldnames, restval="", extrasaction="ignore")
             w.writeheader()
             w.writerows(rows)
 

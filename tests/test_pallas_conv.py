@@ -242,3 +242,13 @@ def test_conv3x3_wgrad_prologue(rng):
     ref = jax.grad(fwd)(jnp.zeros((3, 3, c, o), jnp.float32))
     out = conv3x3_wgrad(x, g, pa, pb, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_mosaic_version_pins_current():
+    """The Mosaic behavior pins (Element OOB semantics, 8-divisible offsets,
+    VMEM accounting) are validated against exact jax/jaxlib/libtpu versions;
+    this fails loudly on an upgrade so the kernel matrix gets re-run."""
+    from hyperpri_tpu.ops import pallas as pallas_pkg
+
+    assert pallas_pkg.check_mosaic_version_pins(), (
+        pallas_pkg._installed_versions(), pallas_pkg.VALIDATED_VERSIONS)
