@@ -64,13 +64,17 @@ def _add_model_overrides(p):
     p.add_argument("--cube-featmaps", type=int, default=None)
     p.add_argument("--spectral-bn-size", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--decoded-cache", default=None, metavar="DIR",
+                   help="on-disk decoded-cube cache dir: cold epochs read the "
+                        "decoded band window instead of re-paying the ENVI gather")
 
 
 def _apply_model_overrides(cfg, args):
     for attr, val in [("hsi_lo", args.hsi_lo), ("hsi_hi", args.hsi_hi),
                       ("cube_featmaps", args.cube_featmaps),
                       ("spectral_bn_size", args.spectral_bn_size),
-                      ("epochs", args.epochs)]:
+                      ("epochs", args.epochs),
+                      ("decoded_cache_dir", args.decoded_cache)]:
         if val is not None:
             setattr(cfg, attr, val)
     if args.hsi_lo is not None or args.hsi_hi is not None:

@@ -59,6 +59,10 @@ class ExperimentConfig:
     hsi_lo: int = 0
     hsi_hi: int = 299
     cache_items: int = 0  # host-RAM LRU of decoded images/cubes (0 = off)
+    # On-disk decoded-cube cache dir (None = off): decoded (H, W, B) band
+    # windows persist across processes, so cold epochs skip the ENVI gather
+    # the reference re-pays every epoch (reference dataset.py:265-268).
+    decoded_cache_dir: Optional[str] = None
 
     # Model parameters --------------------------------------------------
     model_name: str = "UNET"
@@ -175,6 +179,7 @@ class ExperimentConfig:
             json_file=self.json_dir.get(split),
             seed=self.run_num,
             cache_items=self.cache_items,
+            decoded_cache_dir=self.decoded_cache_dir,
         )
 
     def get_train_data(self) -> HyperpriDataset:

@@ -30,7 +30,6 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from hyperpri_tpu.data.envi import read_cube
 from hyperpri_tpu.data.splits import DEFAULT_CLASS_LIST, SplitIndex, parse_split_json
 
 try:
@@ -69,6 +68,7 @@ class HyperpriDataset:
         seed: int = 0,
         cache_items: int = 0,
         image_dtype=np.float32,
+        decoded_cache_dir: Optional[str] = None,
     ):
         if json_file is None:
             raise ValueError("hyperpri_tpu requires a split JSON (the reference's "
@@ -96,6 +96,10 @@ class HyperpriDataset:
         # pairs are kept in host RAM (pre-crop, so augmentation stays fresh).
         self._cache_items = cache_items
         self._cache: "dict[int, tuple]" = {}
+        # On-disk decoded-cube cache (data/disk_cache.py): cold processes
+        # re-read the decoded (H, W, B) window sequentially instead of
+        # re-paying the reference's per-epoch ENVI gather (dataset.py:265-268).
+        self.decoded_cache_dir = decoded_cache_dir
         # Returned/cached image dtype. ml_dtypes.bfloat16 moves the f32->bf16
         # cast to decode time (once per cube, amortized by the LRU) instead of
         # once per epoch in the loader: warm-epoch collate touches half the
@@ -141,9 +145,13 @@ class HyperpriDataset:
         if self.mode == "hsi":
             # Decode straight into the target dtype: the native reader emits
             # bf16 in-gather (runtime/envi_reader.cc envi_read_slice_bf16),
-            # the numpy fallback casts in its final ascontiguousarray.
-            img = read_cube(
-                entry.hdr, entry.dat, self.hsi_lo, self.hsi_hi, dtype=self.image_dtype
+            # the numpy fallback casts in its final ascontiguousarray. With a
+            # decoded_cache_dir the result persists on disk across processes.
+            from hyperpri_tpu.data.disk_cache import read_cube_cached
+
+            img = read_cube_cached(
+                entry.hdr, entry.dat, self.hsi_lo, self.hsi_hi,
+                dtype=self.image_dtype, cache_dir=self.decoded_cache_dir,
             )
         elif self.mode == "gray":
             g = _load_png(entry.img, "L").astype(np.float32) / 255.0

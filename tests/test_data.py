@@ -427,3 +427,98 @@ def test_native_reader_bf16_matches_numpy(tmp_path, rng):
     out = read_cube(hdr, dat, 0, 5, dtype=ml_dtypes.bfloat16)
     ref = cube16[:, :, 0:5].astype(np.float32).astype(ml_dtypes.bfloat16)
     np.testing.assert_array_equal(out.view(np.uint16), ref.view(np.uint16))
+
+
+def test_disk_cache_golden_vs_envi(tmp_path, rng):
+    """On-disk decoded-cube cache: cold write + warm read both match the
+    pure-numpy ENVI oracle, byte for byte, for f32 and bf16 windows."""
+    import ml_dtypes
+
+    from hyperpri_tpu.data.disk_cache import read_cube_cached
+
+    cube = rng.normal(size=(12, 10, 20)).astype(np.float32)
+    hdr, dat = str(tmp_path / "c.hdr"), str(tmp_path / "c.dat")
+    write_envi(hdr, dat, cube, interleave="bil")
+    cdir = str(tmp_path / "cache")
+
+    for dtype in (np.float32, ml_dtypes.bfloat16):
+        ref = read_cube(hdr, dat, 3, 17, dtype=dtype)
+        cold = read_cube_cached(hdr, dat, 3, 17, dtype=dtype, cache_dir=cdir)
+        np.testing.assert_array_equal(np.asarray(cold), np.asarray(ref))
+        warm = read_cube_cached(hdr, dat, 3, 17, dtype=dtype, cache_dir=cdir)
+        np.testing.assert_array_equal(np.asarray(warm), np.asarray(ref))
+    # two dtypes x one window -> two .bin entries
+    assert len([n for n in os.listdir(cdir) if n.endswith(".bin")]) == 2
+
+
+def test_disk_cache_invalidation_and_damage(tmp_path, rng):
+    """Source edits (mtime/size) miss cleanly; truncated entries re-decode."""
+    import time as _time
+
+    from hyperpri_tpu.data.disk_cache import cache_key, read_cube_cached
+
+    cube = rng.normal(size=(8, 6, 10)).astype(np.float32)
+    hdr, dat = str(tmp_path / "c.hdr"), str(tmp_path / "c.dat")
+    write_envi(hdr, dat, cube, interleave="bsq")
+    cdir = str(tmp_path / "cache")
+
+    out1 = read_cube_cached(hdr, dat, 0, 10, cache_dir=cdir)
+    key1 = cache_key(hdr, dat, 0, 10, np.float32)
+
+    # damage the entry: a truncated .bin must be ignored and re-decoded
+    bin1 = os.path.join(cdir, key1 + ".bin")
+    with open(bin1, "wb") as f:
+        f.write(b"xx")
+    np.testing.assert_array_equal(read_cube_cached(hdr, dat, 0, 10, cache_dir=cdir), out1)
+    assert os.path.getsize(bin1) == out1.nbytes  # rewritten
+
+    # editing the source changes the key (no stale hit)
+    cube2 = cube + 1.0
+    _time.sleep(0.01)
+    write_envi(hdr, dat, cube2, interleave="bsq")
+    assert cache_key(hdr, dat, 0, 10, np.float32) != key1
+    np.testing.assert_allclose(
+        read_cube_cached(hdr, dat, 0, 10, cache_dir=cdir), cube2, rtol=0, atol=0
+    )
+
+
+def test_disk_cache_sweep_evicts_to_cap(tmp_path, rng):
+    from hyperpri_tpu.data.disk_cache import read_cube_cached, sweep_cache
+
+    cdir = str(tmp_path / "cache")
+    sizes = []
+    for i in range(3):
+        cube = rng.normal(size=(6, 5, 4 + i)).astype(np.float32)
+        hdr, dat = str(tmp_path / f"c{i}.hdr"), str(tmp_path / f"c{i}.dat")
+        write_envi(hdr, dat, cube)
+        out = read_cube_cached(hdr, dat, cache_dir=cdir)
+        sizes.append(out.nbytes)
+    total = sum(sizes)
+    freed = sweep_cache(cdir, total - 1)  # must evict at least the oldest
+    assert freed >= sizes[0]
+    remaining = sum(
+        os.path.getsize(os.path.join(cdir, n))
+        for n in os.listdir(cdir) if n.endswith(".bin")
+    )
+    assert remaining <= total - 1
+
+
+def test_dataset_uses_disk_cache(synth, tmp_path):
+    """HyperpriDataset(decoded_cache_dir=...) serves identical items and
+    populates the cache once per cube."""
+    root, json_file = synth["root"], synth["splits"]["train"]
+    cdir = str(tmp_path / "dcache")
+    plain = HyperpriDataset(root=root, mode="HSI", hsi_lo=2, hsi_hi=9, json_file=json_file)
+    cached = HyperpriDataset(
+        root=root, mode="HSI", hsi_lo=2, hsi_hi=9, json_file=json_file,
+        decoded_cache_dir=cdir,
+    )
+    for i in range(len(plain)):
+        a, b = plain[i], cached[i]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+    n_bins = len([n for n in os.listdir(cdir) if n.endswith(".bin")])
+    assert n_bins == len(plain)
+    # second pass is served from disk, still identical
+    for i in range(len(plain)):
+        np.testing.assert_array_equal(plain[i]["image"], cached[i]["image"])
