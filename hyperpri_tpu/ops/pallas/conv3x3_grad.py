@@ -224,9 +224,12 @@ def conv3x3_wgrad(
     db = sum(g_eff)) in VMEM instead of reading a materialized g_eff.
     Returns (dW, db) instead of dW.
 
-    arena_g: g AND y are arena-framed (the stats conv ran with arena_out);
-    requires fold + logical_hw. Their +8-offset windows are read raw with
-    the beyond-logical garbage masked in-kernel — no slice pass.
+    arena_g: g (and y, in fold mode) is arena-framed; requires logical_hw.
+    The +8-offset windows are read raw with the beyond-logical region masked
+    in-kernel — no slice pass. Without fold, g is the MATERIALIZED
+    arena-framed g_eff (conv_train._bnact_bwd's zero-framed pad, shared with
+    the adjoint conv's arena_g read) and its lane width is taken as the
+    8-rounded output-channel count.
     """
     fold = y is not None
     if fold:
@@ -234,8 +237,8 @@ def conv3x3_wgrad(
         assert y.shape == g.shape and y.dtype == g.dtype, (y.shape, g.shape)
     # Arena invariants raise (not assert): a wiring bug here becomes raw
     # out-of-bounds TPU window reads under `python -O`, not a clean error.
-    if arena_g and (not fold or logical_hw is None):
-        raise ValueError("arena_g requires fold + logical_hw")
+    if arena_g and logical_hw is None:
+        raise ValueError("arena_g requires logical_hw")
     if arena_in:
         if pa is None:
             raise ValueError("arena_in x requires the masking prologue")
@@ -245,14 +248,16 @@ def conv3x3_wgrad(
         c = pa.shape[0]
         if arena_g:
             h, width = logical_hw
-            o = gsum.shape[0]
+            # Non-fold arena_g: g is the materialized arena-framed g_eff; its
+            # lane width IS the (8-rounded) output-channel count.
+            o = gsum.shape[0] if fold else g.shape[-1]
         else:
             gn, h, width, o = g.shape
             assert gn == n, (x.shape, g.shape)
     elif arena_g:
         n, h, width, c = x.shape
         assert (h, width) == tuple(logical_hw), (x.shape, logical_hw)
-        o = gsum.shape[0]
+        o = gsum.shape[0] if fold else g.shape[-1]
         assert g.shape[0] == n, (x.shape, g.shape)
     else:
         n, h, width, c = x.shape

@@ -102,6 +102,22 @@ def arena_extent(h, width, c, o, in_dtype, out_dtype, lane_stride=64,
     return n_h * th, n_w * tw
 
 
+def arena_g_extent(h, width, c, o, in_dtype, out_dtype, lane_stride=64,
+                   affine_bwd=True):
+    """(Eh, Ew) tile cover of the arena-g read (conv3x3_packed with arena_g:
+    an adjoint conv consuming a zero-framed arena g_eff). The g_eff arena
+    buffer is (n, 8 + Eh + 8, 8 + Ew + 8, round_up(c, 8)); the producer
+    (conv_train's fused pad) must build exactly this extent. affine_bwd=True
+    for the bwd-epilogue adjoint (_bnact_bwd); False for the plain fwd-mode
+    adjoint (_stats_bwd)."""
+    th, tw = fit_tiles(h, width, c, o, in_dtype, out_dtype,
+                       lane_stride=lane_stride, prologue=True,
+                       affine_bwd=affine_bwd, arena_in=True)
+    if th != 8:
+        return None  # arena Element offsets must be 8-divisible
+    return -(-h // th) * th, -(-width // tw) * tw
+
+
 def padded_width(width, h, c, o, in_dtype, out_dtype, lane_stride=64,
                  prologue=False):
     """Total padded W (left border + W + right) the packed kernel DMAs."""
@@ -112,7 +128,7 @@ def padded_width(width, h, c, o, in_dtype, out_dtype, lane_stride=64,
 
 
 def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None,
-            bwd_hw=None, bwd_shift=0, n_w=1, arena_x=False):
+            bwd_hw=None, bwd_shift=0, n_w=1, arena_x=False, gx_hw=None):
     refs = list(refs)
     x_ref = refs.pop(0)
     w_ref = refs.pop(0)
@@ -124,9 +140,30 @@ def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None,
     s_ref = refs.pop(0) if (stats_hw or bwd_hw) is not None else None
     p_ref = refs.pop(0)
     acc_ref = refs.pop(0)
-    z_ref = refs.pop(0) if pro_hw is not None else None
+    z_ref = refs.pop(0) if (pro_hw is not None or gx_hw is not None) else None
     cp = z_ref.shape[-1] if z_ref is not None else x_ref.shape[-1]
 
+    if gx_hw is not None:
+        # Raw arena-framed x (an arena-materialized g_eff, produced by a
+        # zero-filling jnp.pad fused into its producer): realign the 8-aligned
+        # (th+9, twb+8) window by the static +7 shift and zero-extend the
+        # arena's op-wide lanes to the dot's cp. The frame is EXACT ZEROS so
+        # the valid-mask select is semantically a no-op, but it (a) forces the
+        # +7-sublane-offset layout through arithmetic — Mosaic cannot
+        # concatenate offset-mismatched layouts on a non-concat dim — and
+        # (b) guards a mis-extent producer from leaking values.
+        h, w = gx_hw
+        i, j = pl.program_id(1), pl.program_id(2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, twb, 1), 0) + i * th
+        col = jax.lax.broadcasted_iota(jnp.int32, (th + 2, twb, 1), 1) + j * tw
+        valid = (row >= 1) & (row <= h) & (col >= 1) & (col <= w)
+        xw = x_ref[0, 7 : 7 + th + 2, 7 : 7 + twb, :]
+        zf = jnp.where(valid, xw.astype(jnp.float32), 0.0)
+        if xw.shape[-1] < cp:
+            zf = jnp.concatenate(
+                [zf, jnp.zeros((th + 2, twb, cp - xw.shape[-1]), zf.dtype)], axis=-1
+            )
+        z_ref[...] = zf.astype(z_ref.dtype)
     if pro_hw is not None:
         # BN-affine + ReLU prologue: the input is the producing conv's RAW
         # output (padded with zeros); apply z = relu(a*x + b) per channel in
@@ -265,7 +302,7 @@ def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None,
 @functools.partial(
     jax.jit,
     static_argnames=("relu", "th", "tw", "out_dtype", "lane_stride", "with_stats",
-                     "interpret", "logical_hw", "arena_in", "arena_out"),
+                     "interpret", "logical_hw", "arena_in", "arena_out", "arena_g"),
 )
 def conv3x3_packed(
     x: jnp.ndarray,
@@ -285,6 +322,7 @@ def conv3x3_packed(
     logical_hw: Optional[tuple] = None,
     arena_in: bool = False,
     arena_out: bool = False,
+    arena_g: bool = False,
 ):
     """y = act(conv3x3_same(act_in(x), w) + b); (N,H,W,C) x, (3,3,C,O) w,
     O <= 128.
@@ -325,14 +363,23 @@ def conv3x3_packed(
                  bwd mode — bwd_x (the residual) is arena-framed; its +8
                  offsets are themselves 8-aligned, so the reads need no
                  clamping, realign shift, or ragged pad.
+      arena_g:   bwd mode — x (the g_eff cotangent) is arena-framed with a
+                 ZERO-FILLED frame (produced by a jnp.pad fused into its
+                 producer, conv_train._bnact_bwd), so the full-resolution
+                 128-lane pad pass never materializes; the window realign +
+                 lane zero-extension happen in the scratch copy (no masking —
+                 the frame is exact zeros, unlike prologue-arena garbage).
+                 logical_hw required; extent must match arena_g_extent().
     """
     bwd = bwd_x is not None
     prologue = pa is not None and not bwd
     n = x.shape[0]
     c = w.shape[2]
-    if arena_in and prologue:
+    if arena_g and pa is not None and not bwd:
+        raise ValueError("arena_g conflicts with the prologue (both own z_ref)")
+    if (arena_in and prologue) or arena_g:
         if logical_hw is None:
-            raise ValueError("arena_in prologue needs logical_hw")
+            raise ValueError("arena-framed x needs logical_hw")
         h, width = logical_hw
         opx = x.shape[-1]
         assert opx >= c and opx % 8 == 0, (x.shape, c)
@@ -360,17 +407,17 @@ def conv3x3_packed(
     th = min(th, _round_up(h, 8))
 
     th, tw = fit_tiles(h, width, c, o, x.dtype, out_dtype,
-                       th=th, tw=tw, lane_stride=ls, prologue=prologue,
-                       affine_bwd=bwd, arena_in=arena_in and prologue)
+                       th=th, tw=tw, lane_stride=ls, prologue=prologue or arena_g,
+                       affine_bwd=bwd, arena_in=(arena_in and prologue) or arena_g)
     twb = tw + 8
     # Arena invariants raise (not assert): a wiring bug here becomes raw
     # out-of-bounds TPU window reads under `python -O`, not a clean error.
-    if (arena_out or arena_in) and th != 8:
+    if (arena_out or arena_in or arena_g) and th != 8:
         raise ValueError(f"arena offsets must be 8-divisible, got th={th}")
 
     n_h = pl.cdiv(h, th)
     n_w = pl.cdiv(width, tw)
-    if arena_in and prologue:
+    if (arena_in and prologue) or arena_g:
         # Arena input: no pad pass at all. Windows are (th+9, twb+8) at
         # aligned (i*th, j*tw) — the W size is twb+8, not the minimal twb+7,
         # because Mosaic requires the block's second-to-last dim to be
@@ -405,11 +452,11 @@ def conv3x3_packed(
         pro_hw=(h, width) if prologue else None,
         bwd_hw=(h, width) if bwd else None,
         bwd_shift=bwd_shift, n_w=n_w,
-        arena_x=arena_in and prologue,
+        arena_x=arena_in and prologue, gx_hw=(h, width) if arena_g else None,
     )
     flops = 2 * n * h * width * c * o * 9
 
-    if arena_in and prologue:
+    if (arena_in and prologue) or arena_g:
         x_spec = pl.BlockSpec(
             (Element(1), Element(th + 9), Element(twb + 8), Element(opx)),
             lambda bn, i, j: (bn, i * th, j * tw, 0),
@@ -496,7 +543,7 @@ def conv3x3_packed(
         pltpu.VMEM((th, twb, 3 * ls), jnp.float32),
         pltpu.VMEM((th, tw, ls), jnp.float32),
     ]
-    if prologue:
+    if prologue or arena_g:
         scratch_shapes.append(pltpu.VMEM((th + 2, twb, cp), x.dtype))
 
     if arena_out:
@@ -541,7 +588,7 @@ def conv3x3_packed(
         # Python-side vmem fit (see conv3x3_grad) — raise the 16M default
         # cap rather than shrink tiles below the 8-divisibility floor.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
-        if (arena_in or arena_out)
+        if (arena_in or arena_out or arena_g)
         else None,
         interpret=interpret,
     )(*operands)

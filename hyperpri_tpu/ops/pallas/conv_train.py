@@ -30,7 +30,11 @@ import jax.numpy as jnp
 
 from hyperpri_tpu.ops.pallas.conv3x3 import conv3x3_bias_act
 from hyperpri_tpu.ops.pallas.conv3x3_grad import conv3x3_wgrad
-from hyperpri_tpu.ops.pallas.conv3x3_packed import conv3x3_packed, padded_width
+from hyperpri_tpu.ops.pallas.conv3x3_packed import (
+    arena_g_extent,
+    conv3x3_packed,
+    padded_width,
+)
 
 # Tap-packing stride for the packed kernel (see conv3x3_packed.py): 64
 # halves the P scratch/N-passes for the O<=64 layers; measured faster than
@@ -63,19 +67,23 @@ def _conv_route(x, w, b, pa=None, pb=None, *, relu, with_stats=False,
     )
 
 
-def _wgrad(x, g, o, interpret, pa=None, pb=None, arena_in=False):
+def _wgrad(x, g, o, interpret, pa=None, pb=None, arena_in=False,
+           arena_g=False, logical_hw=None):
     """dW with the input pad geometry matched to the packed forward's (so
     XLA CSEs the two full-res pads) whenever the forward took the packed
-    route; with an arena-framed x there is no pad at all."""
+    route; with an arena-framed x there is no pad at all. arena_g: g is the
+    materialized zero-framed arena g_eff (read raw at +8 offsets)."""
     if arena_in:
-        return conv3x3_wgrad(x, g, pa, pb, arena_in=True, interpret=interpret)
+        return conv3x3_wgrad(x, g, pa, pb, arena_in=True, arena_g=arena_g,
+                             logical_hw=logical_hw, interpret=interpret)
     pad_w = None
     if o <= _PACKED_LS:
         pad_w = padded_width(
             x.shape[2], x.shape[1], x.shape[3], o, x.dtype, x.dtype,
             lane_stride=_PACKED_LS, prologue=pa is not None,
         )
-    return conv3x3_wgrad(x, g, pa, pb, pad_w_to=pad_w, interpret=interpret)
+    return conv3x3_wgrad(x, g, pa, pb, pad_w_to=pad_w, arena_g=arena_g,
+                         logical_hw=logical_hw, interpret=interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -153,6 +161,31 @@ def _stats_bwd(interpret, arena_out, res, cotangents):
     ).astype(x.dtype)
     wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
+    o = w.shape[-1]
+    bc = w.shape[2]  # adjoint conv's output channels
+    h, w_ = x.shape[1], x.shape[2]
+    ext = (
+        arena_g_extent(h, w_, o, bc, x.dtype, x.dtype,
+                       lane_stride=_PACKED_LS, affine_bwd=False)
+        if bc <= _PACKED_LS and o % 8 == 0
+        else None
+    )
+    if ext is not None:
+        # Arena-g (see _bnact_bwd): g_eff materializes ONCE, zero-framed —
+        # the jnp.pad (and, with arena_out, the gy/y logical slices) fuse
+        # into the producer fusion, so the adjoint conv's separate
+        # full-resolution 128-lane pad pass never runs.
+        eh, ew = ext
+        g_arena = jnp.pad(g_eff, ((0, 0), (8, eh + 8 - h), (8, ew + 8 - w_), (0, 0)))
+        dx = conv3x3_packed(
+            g_arena, wt, zero_bias, relu=False, out_dtype=x.dtype,
+            lane_stride=_PACKED_LS, interpret=interpret,
+            logical_hw=(h, w_), arena_g=True,
+        )
+        dw = _wgrad(x, g_arena, o, interpret, arena_g=True,
+                    logical_hw=(h, w_)).astype(w.dtype)
+        db = jnp.sum(g_arena.astype(jnp.float32), axis=(0, 1, 2))[:o]
+        return dx, dw, db
     dx = _conv_route(g_eff, wt, zero_bias, relu=False, interpret=interpret)
     dw = _wgrad(x, g_eff, w.shape[-1], interpret).astype(w.dtype)
     db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 1, 2))
@@ -210,6 +243,38 @@ def _bnact_bwd(interpret, arena_hw, res, cotangents):
     wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
     bc = w.shape[2]  # boundary channels (= adjoint conv's output channels)
+    o = w.shape[-1]
+    # Arena lanes carry o channels directly (no 128-lane pad) — requires an
+    # 8-divisible channel count for the (8,128) tiling.
+    ext = (
+        arena_g_extent(*arena_hw, o, bc, x.dtype, x.dtype, lane_stride=_PACKED_LS)
+        if arena and o % 8 == 0
+        else None
+    )
+    if bc <= _PACKED_LS and ext is not None:
+        # Arena-g: g_eff is materialized ONCE, zero-framed at (8,8) inside the
+        # adjoint conv's tile cover — the jnp.pad fuses into the g_eff
+        # producer fusion, so the separate full-resolution 128-lane pad passes
+        # XLA otherwise emits for the adjoint conv (measured 0.93 ms each at
+        # 608x968x64, pads .725/.738 in the round-4 hlo_stats) never run. All
+        # three consumers read this one buffer: the adjoint conv (arena_g
+        # window reads), the wgrad (+8-offset raw windows), and db (the frame
+        # zeros contribute nothing to the sum).
+        h, w_ = arena_hw
+        eh, ew = ext
+        g_arena = jnp.pad(g_eff, ((0, 0), (8, eh + 8 - h), (8, ew + 8 - w_), (0, 0)))
+        dx, (dpa, dpb) = conv3x3_packed(
+            g_arena, wt, zero_bias, pa, pb, x, relu=False, out_dtype=x.dtype,
+            lane_stride=_PACKED_LS, interpret=interpret, logical_hw=arena_hw,
+            arena_in=True, arena_out=True, arena_g=True,
+        )
+        assert dx.shape == x.shape, (dx.shape, x.shape)
+        dw = conv3x3_wgrad(
+            x, g_arena, pa, pb, arena_in=True, arena_g=True,
+            logical_hw=arena_hw, interpret=interpret,
+        ).astype(w.dtype)
+        db = jnp.sum(g_arena.astype(jnp.float32), axis=(0, 1, 2))[:o]
+        return dx, dpa, dpb, dw, db
     if bc <= _PACKED_LS:
         # Fused backward epilogue (conv3x3_packed bwd_x): the relu-mask
         # recompute, dx = mdz*pa scale, and the dpa/dpb reductions all run

@@ -30,6 +30,10 @@ def main():
     p.add_argument("--boxes", type=int, default=3)
     p.add_argument("--dates", type=int, default=2)
     p.add_argument("--no-cache", action="store_true")
+    p.add_argument("--no-disk-cache", action="store_true",
+                   help="disable the on-disk decoded-cube cache (on by default "
+                        "under <workdir>/decoded_cache; a SECOND run of this "
+                        "script pays no cold ENVI decode at all)")
     args = p.parse_args()
 
     from hyperpri_tpu.config import ExpHyperspectralPRI
@@ -52,6 +56,8 @@ def main():
     cfg = ExpHyperspectralPRI(calling_path=workdir, split_no=1)  # paper defaults
     cfg.precision = "bf16"
     cfg.cache_items = 0 if args.no_cache else 16
+    if not args.no_disk_cache:
+        cfg.decoded_cache_dir = os.path.join(workdir, "decoded_cache")
     trainer = train_net(cfg, max_epochs=args.epochs, progress=True)
 
     import csv

@@ -179,6 +179,64 @@ def test_wgrad_geff_fold_matches_materialized(rng, n, h, w, o1, o2, arena):
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), rtol=1e-4, atol=1e-4)
 
 
+def _embed_arena_zero(t, eh, ew):
+    """Arena-g reference builder: zero-FILLED frame (the producer is a
+    jnp.pad, so unlike producer-written arenas there is no garbage)."""
+    n, h, w, o = t.shape
+    buf = np.zeros((n, 8 + eh + 8, 8 + ew + 8, o), np.float32)
+    buf[:, 8 : 8 + h, 8 : 8 + w, :] = np.asarray(t)
+    return jnp.asarray(buf)
+
+
+@pytest.mark.parametrize("n,h,w,o1,o2", [(1, 16, 24, 64, 64), (2, 13, 21, 20, 24)])
+def test_wgrad_arena_g_materialized_matches_logical(rng, n, h, w, o1, o2):
+    """Non-fold arena_g: the wgrad reading a MATERIALIZED zero-framed arena
+    g_eff (conv_train._bnact_bwd's fused pad) must match the logical read."""
+    from hyperpri_tpu.ops.pallas.conv3x3_packed import arena_g_extent
+
+    x1 = jnp.asarray(rng.normal(size=(n, h, w, o1)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, h, w, o2)).astype(np.float32))
+    pa = jnp.asarray(rng.normal(size=(o1,)).astype(np.float32))
+    pb = jnp.asarray((rng.normal(size=(o1,)) * 0.1).astype(np.float32))
+    ext = arena_g_extent(h, w, o2, o1, jnp.float32, jnp.float32)
+    if ext is None:
+        pytest.skip("no arena-g extent at this shape")
+    ga = _embed_arena_zero(g, *ext)
+    ref = conv3x3_wgrad(x1, g, pa, pb, interpret=True)
+    out = conv3x3_wgrad(x1, ga, pa, pb, arena_g=True, logical_hw=(h, w),
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n,h,w,o1,o2", [(1, 16, 24, 64, 64), (2, 13, 21, 24, 24)])
+def test_packed_bwd_arena_g_matches_logical(rng, n, h, w, o1, o2):
+    """Packed bwd with arena_g (adjoint conv reading the zero-framed arena
+    g_eff) and a LOGICAL residual must match the fully-logical bwd call —
+    the composition a non-arena boundary would use."""
+    from hyperpri_tpu.ops.pallas.conv3x3_packed import arena_g_extent
+
+    g = jnp.asarray(rng.normal(size=(n, h, w, o2)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(n, h, w, o1)).astype(np.float32))
+    wt = jnp.asarray((rng.normal(size=(3, 3, o2, o1)) * 0.1).astype(np.float32))
+    pa = jnp.asarray(rng.normal(size=(o1,)).astype(np.float32))
+    pb = jnp.asarray((rng.normal(size=(o1,)) * 0.1).astype(np.float32))
+    zb = jnp.zeros((o2,), jnp.float32)
+    ext = arena_g_extent(h, w, o2, o1, jnp.float32, jnp.float32)
+    if ext is None:
+        pytest.skip("no arena-g extent at this shape")
+    ga = _embed_arena_zero(g, *ext)
+    dx_ref, (dpa_ref, dpb_ref) = conv3x3_packed(
+        g, wt, zb, pa, pb, res, relu=False, lane_stride=64, interpret=True
+    )
+    dx, (dpa, dpb) = conv3x3_packed(
+        ga, wt, zb, pa, pb, res, relu=False, lane_stride=64, interpret=True,
+        arena_g=True, logical_hw=(h, w),
+    )
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dpa), np.asarray(dpa_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dpb), np.asarray(dpb_ref), rtol=1e-4, atol=1e-4)
+
+
 def test_arena_compatible_model_shapes():
     # the production full-res boundaries must qualify (608x968, th=8, tw=488)
     assert arena_compatible(608, 968, 238, 64, 64, jnp.bfloat16)

@@ -39,3 +39,38 @@ def test_backward_matches_select_and_scatter(rng):
         ref = jax.grad(loss_ref)(x)
         out = jax.grad(loss_new)(x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_bwd_matches_xla_bwd(rng):
+    """The Pallas pool-backward (ops/pallas/pool_bwd.py, interpret mode here;
+    bit-exact on hardware per scripts/probe_pool_bwd.py) must reproduce the
+    XLA first-max backward exactly, ties included."""
+    from hyperpri_tpu.ops.pallas.pool_bwd import max_pool_2x2_bwd_pallas
+    from hyperpri_tpu.ops.pool import _bwd
+
+    shapes = [(2, 16, 24, 64), (1, 8, 968, 64), (2, 32, 16, 128), (1, 6, 10, 256)]
+    for shape in shapes:
+        n, h, w, c = shape
+        # quantized values force cross-window and in-window ties
+        x = jnp.asarray(rng.integers(0, 4, shape).astype(np.float32)).astype(jnp.bfloat16)
+        g = jnp.asarray(
+            rng.normal(size=(n, h // 2, w // 2, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        ref = _bwd(x, g)[0]
+        out = max_pool_2x2_bwd_pallas(x, g, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), err_msg=str(shape)
+        )
+
+
+def test_pallas_route_gate():
+    """Odd H/W or non-tileable channels must stay on the XLA path."""
+    from hyperpri_tpu.ops.pool import _pallas_route_ok
+
+    ok = jnp.zeros((2, 608, 968, 64))
+    assert not _pallas_route_ok(jnp.zeros((2, 76, 121, 512)))  # odd W
+    assert not _pallas_route_ok(jnp.zeros((2, 75, 120, 64)))  # odd H
+    assert not _pallas_route_ok(jnp.zeros((2, 608, 968, 20)))  # lanes % 8
+    assert not _pallas_route_ok(jnp.zeros((2, 8, 8, 64)))  # tiny
+    # even/tileable routes IFF the backend is TPU at trace time
+    assert _pallas_route_ok(ok) == (jax.default_backend() == "tpu")
