@@ -96,28 +96,40 @@ def measure_tpu(k_lo: int = 10, k_hi: int = 30, n_runs: int = 3) -> float:
                         fused_bn=True, use_pallas=(mode == "fold"), dtype=jnp.bfloat16)
         variables = {"params": folded}
 
+    # Inputs are PRE-STAGED on device, outside the timed region — matching
+    # the reference protocol, which times net(x) on an already-built tensor
+    # (test_models.ipynb cell 11). Generating a fresh cube per iteration
+    # inside the timed scan (the previous protocol) measured 4.71 ms/step of
+    # pure RNG fusion in the serving trace — 29% of the headline was input
+    # synthesis, not the model. Cycling a pool of distinct staged cubes by
+    # dynamic index still defeats CSE/hoisting (the applied input differs
+    # every iteration and is not loop-invariant).
+    n_staged = 8
+    xs = jax.random.normal(rng, (n_staged, H, W, D), jnp.bfloat16)
+
     def make_forward(k_inner):
         @jax.jit
-        def forward_k(variables, key):
+        def forward_k(variables, xs, start):
             def body(carry, k):
-                x = jax.random.normal(k, (1, H, W, D), jnp.bfloat16)
+                # keepdims: the indexed dim becomes the batch-1 dim
+                x = jax.lax.dynamic_index_in_dim(xs, (start + k) % n_staged, 0)
                 y = model.apply(variables, x, train=False)
                 return carry + jnp.sum(y.astype(jnp.float32)), None
 
-            acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, k_inner))
+            acc, _ = jax.lax.scan(body, 0.0, jnp.arange(k_inner))
             return acc
 
         return forward_k
 
     f_lo, f_hi = make_forward(k_lo), make_forward(k_hi)
-    float(f_lo(variables, rng))  # compile (fetch forces completion)
-    float(f_hi(variables, rng))
+    float(f_lo(variables, xs, 0))  # compile (fetch forces completion)
+    float(f_hi(variables, xs, 0))
 
     def timed(fn, n):
         times = []
         for i in range(n):
             t0 = time.perf_counter()
-            float(fn(variables, jax.random.key(i)))
+            float(fn(variables, xs, i))
             times.append(time.perf_counter() - t0)
         return min(times)
 

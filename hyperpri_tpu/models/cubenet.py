@@ -63,8 +63,25 @@ class CubeNET(nn.Module):
         # Spectral collapse: Conv3d(1, fd, (D,3,3), pad (0,1,1)) == 2D conv
         # with D input channels (reference models.py:169).
         if self.fused_bn and self.use_pallas:
-            x1 = PallasConv3x3(fd, dtype=self.dtype, name="first_conv")(x)
-            x1 = PallasConv3x3(fd, dtype=self.dtype, name="inc2_conv")(x1)
+            from hyperpri_tpu.models.parts import (
+                _packed_serving_route,
+                serving_arena_compatible,
+            )
+
+            h, w = x.shape[1], x.shape[2]
+            # Serving arena chain across first_conv -> inc2 (same fusable
+            # boundary shape as DoubleConv's; see parts.py DoubleConv).
+            sarena = (
+                _packed_serving_route(h, w, self.hsi_depth, fd)
+                and _packed_serving_route(h, w, fd, fd)
+                and serving_arena_compatible(h, w, self.hsi_depth, fd, fd,
+                                             self.dtype)
+            )
+            x1 = PallasConv3x3(fd, dtype=self.dtype, arena_out=sarena,
+                               name="first_conv")(x)
+            x1 = PallasConv3x3(fd, dtype=self.dtype,
+                               arena_in_hw=(h, w) if sarena else None,
+                               name="inc2_conv")(x1)
         else:
             from hyperpri_tpu.models.parts import _packed_train_route, arena_compatible
 

@@ -481,6 +481,41 @@ class ConvTranspose2x2(nn.Module):
         return (y + bias.astype(self.dtype)).astype(self.dtype)
 
 
+SERVING_MIN_PIXELS = 140_000
+
+
+def _packed_serving_route(h, w, c, o, min_pixels=SERVING_MIN_PIXELS):
+    """True iff PallasConv3x3 routes this layer through the packed kernel."""
+    return (
+        jax.default_backend() == "tpu"
+        and h * w >= min_pixels
+        and c >= 33
+        and o <= 64
+    )
+
+
+def serving_arena_compatible(h, w, c1, o1, o2, dtype):
+    """True iff the serving conv1(c1->o1, relu) -> conv2(o1->o2) pair at
+    logical (h, w) can chain in arena geometry: conv1 writes its ACTIVATED
+    output arena-framed (arena_out) and conv2 reads it through the masked
+    raw-arena window path (arena_g — garbage frames zeroed in-kernel), so
+    the slice after conv1 and the full-res 128-lane pad before conv2 never
+    exist. Simpler than the training arena: no stats, no prologue, no
+    backward."""
+    if o1 > PACKED_MAX_O or o2 > PACKED_MAX_O:
+        return False
+    from hyperpri_tpu.ops.pallas.conv3x3_packed import arena_extent, fit_tiles
+
+    e1 = arena_extent(h, w, c1, o1, dtype, dtype)  # fwd, no prologue
+    if e1 is None:
+        return False
+    th2, tw2 = fit_tiles(h, w, o1, o2, dtype, dtype, prologue=True,
+                         arena_in=True)
+    if th2 != 8:
+        return False
+    return -(-w // tw2) * tw2 <= e1[1]
+
+
 class PallasConv3x3(nn.Module):
     """3x3 SAME conv + bias (+ReLU), serving path (BN already folded).
 
@@ -492,17 +527,29 @@ class PallasConv3x3(nn.Module):
     and 64-channel inputs). Parameter layout identical to nn.Conv, so
     checkpoints and fold_bn trees are interchangeable with the XLA path.
     `force_pallas` pins the halo kernel (ops/pallas/conv3x3.py) for every
-    shape — the all-custom-kernel configuration kept for benchmarking."""
+    shape — the all-custom-kernel configuration kept for benchmarking.
+
+    arena_out / arena_in_hw: serving arena chain (serving_arena_compatible) —
+    this conv writes its activated output arena-framed / reads an
+    arena-framed input with logical extent (h, w). Packed route only; the
+    caller must have checked the route and extent agreement."""
 
     features: int
     relu: bool = True
     force_pallas: bool = False
-    min_pixels: int = 140_000
+    min_pixels: int = SERVING_MIN_PIXELS
+    arena_out: bool = False
+    arena_in_hw: Optional[tuple] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
+        if self.arena_in_hw is not None:
+            h_log, w_log = self.arena_in_hw
+            c = x.shape[-1]  # arena lane width == conv input channels
+        else:
+            h_log, w_log = x.shape[1], x.shape[2]
+            c = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features), jnp.float32
         )
@@ -524,18 +571,21 @@ class PallasConv3x3(nn.Module):
         # the whole full-resolution region in one layout regime wins
         # (packed 128->64 measures 0.81 ms in-graph at batch 1 vs 2.7-3.5 ms
         # for the XLA layout-converted equivalent).
-        packed_wins = (
-            on_tpu
-            and x.shape[1] * x.shape[2] >= self.min_pixels
-            and c >= 33
-            and self.features <= 64
-        )
+        packed_wins = _packed_serving_route(h_log, w_log, c, self.features,
+                                            self.min_pixels)
+        if (self.arena_out or self.arena_in_hw is not None) and not packed_wins:
+            raise ValueError(
+                f"serving arena requested off the packed route: "
+                f"c={c}, o={self.features}, hw={(h_log, w_log)}")
         if packed_wins:
             from hyperpri_tpu.ops.pallas.conv3x3_packed import conv3x3_packed
 
             return conv3x3_packed(
                 x, kernel.astype(self.dtype), bias.astype(jnp.float32),
                 relu=self.relu, out_dtype=self.dtype, lane_stride=64,
+                arena_out=self.arena_out,
+                arena_g=self.arena_in_hw is not None,
+                logical_hw=self.arena_in_hw,
             )
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(self.dtype), (1, 1), "SAME",
@@ -562,8 +612,21 @@ class DoubleConv(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         mid = self.mid_channels if self.mid_channels is not None else self.out_channels
         if self.fused_bn and self.use_pallas:
-            x = PallasConv3x3(mid, dtype=self.dtype, name="conv1")(x)
-            return PallasConv3x3(self.out_channels, dtype=self.dtype, name="conv2")(x)
+            # Serving arena chain: conv1 writes its activated output
+            # arena-framed and conv2 reads it in place — no slice/pad pass
+            # between the two packed kernels (serving_arena_compatible).
+            n, h, w, c_in = x.shape
+            sarena = (
+                _packed_serving_route(h, w, c_in, mid)
+                and _packed_serving_route(h, w, mid, self.out_channels)
+                and serving_arena_compatible(h, w, c_in, mid,
+                                             self.out_channels, self.dtype)
+            )
+            x = PallasConv3x3(mid, dtype=self.dtype, arena_out=sarena,
+                              name="conv1")(x)
+            return PallasConv3x3(self.out_channels, dtype=self.dtype,
+                                 arena_in_hw=(h, w) if sarena else None,
+                                 name="conv2")(x)
         want_stats = train and not self.fused_bn
         n, h, w, c_in = x.shape
         # Arena geometry: when BOTH convs take the tap-packed trainable

@@ -237,6 +237,31 @@ def test_packed_bwd_arena_g_matches_logical(rng, n, h, w, o1, o2):
     np.testing.assert_allclose(np.asarray(dpb), np.asarray(dpb_ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("n,h,w,c1,o1,o2", [(1, 16, 24, 40, 64, 64), (2, 13, 21, 64, 24, 24)])
+def test_serving_arena_chain_matches_logical(rng, n, h, w, c1, o1, o2):
+    """Serving chain: conv1(relu, arena_out) -> conv2(relu, arena_g) must
+    equal the logical conv->relu->conv->relu chain. conv2's in-kernel valid
+    mask supplies the SAME-pad zeros (the arena frame is unwritten garbage)."""
+    from hyperpri_tpu.models.parts import serving_arena_compatible
+
+    if not serving_arena_compatible(h, w, c1, o1, o2, jnp.float32):
+        pytest.skip("geometry not serving-arena-compatible at this shape")
+    x = jnp.asarray(rng.normal(size=(n, h, w, c1)).astype(np.float32))
+    w1 = jnp.asarray((rng.normal(size=(3, 3, c1, o1)) * 0.1).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(o1,)).astype(np.float32))
+    w2 = jnp.asarray((rng.normal(size=(3, 3, o1, o2)) * 0.1).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(size=(o2,)).astype(np.float32))
+
+    y1_ref = conv3x3_packed(x, w1, b1, relu=True, lane_stride=64, interpret=True)
+    y2_ref = conv3x3_packed(y1_ref, w2, b2, relu=True, lane_stride=64, interpret=True)
+
+    y1a = conv3x3_packed(x, w1, b1, relu=True, lane_stride=64, interpret=True,
+                         arena_out=True)
+    y2 = conv3x3_packed(y1a, w2, b2, relu=True, lane_stride=64, interpret=True,
+                        arena_g=True, logical_hw=(h, w))
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y2_ref), atol=2e-5)
+
+
 def test_arena_compatible_model_shapes():
     # the production full-res boundaries must qualify (608x968, th=8, tw=488)
     assert arena_compatible(608, 968, 238, 64, 64, jnp.bfloat16)
