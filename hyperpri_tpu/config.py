@@ -87,6 +87,8 @@ class ExperimentConfig:
     threshold: float = 0.5
 
     # Early stopping ------------------------------------------------------
+    # Declared-but-unused in the reference too (params_HyperPRI.py:72,234
+    # sets consecutive = None and nothing reads it); kept for config parity.
     consecutive: Optional[int] = None
     overall: int = 500  # patience on val_loss, epochs
 

@@ -517,9 +517,10 @@ def conv3x3_packed(
         # H windows reach n_h*th rows. On ragged H (h % th != 0) that would
         # read whole rows past the allocation — whole-row overreads past the
         # physical extent hard-fault on TPU (conv3x3_grad.py pads g for the
-        # same reason) and rows in [h, round_up(h, 8)) were never validated
-        # on hardware. Zero-pad the residual to the window extent; the
+        # same reason). Zero-pad the residual to the window extent; the
         # in-kernel `valid` mask already zeroes these rows before use.
+        # Hardware-validated at h%8 in {3,5} up to 605x968 — fwd/stats/wgrad
+        # at 1e-6, bwd dx within one bf16 ULP (scripts/probe_ragged_h.py, r4).
         if n_h * th != h:
             bwd_x = jnp.pad(bwd_x, ((0, 0), (0, n_h * th - h), (0, 0), (0, 0)))
         w_start = wphys - tw  # static, >= 0 since tw <= round_up(width, 8)

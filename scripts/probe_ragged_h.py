@@ -47,10 +47,6 @@ def main():
         wk = jnp.asarray((rng.normal(size=(3, 3, c, o)) * 0.1).astype(np.float32))
         b = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
         g = jnp.asarray(rng.normal(size=(n, h, w, o)).astype(np.float32)).astype(jnp.bfloat16)
-        res = jnp.asarray(rng.normal(size=(n, h, w, o)).astype(np.float32)).astype(jnp.bfloat16)
-        pa = jnp.asarray(rng.normal(size=(o,)).astype(np.float32))
-        pb = jnp.asarray((rng.normal(size=(o,)) * 0.1).astype(np.float32))
-
         tag = f"({n},{h},{w},{c}->{o})"
 
         # fwd + stats (masked ragged tail)
@@ -67,23 +63,31 @@ def main():
         print(f"{tag} fwd+stats  dev_y={dev_y:.2e} dev_s={dev_s:.2e} dev_ss={dev_ss:.2e}",
               flush=True)
 
-        # bwd epilogue mode (residual read takes the ragged-H zero-pad fallback)
-        wt = jnp.transpose(wk[::-1, ::-1], (0, 1, 3, 2))
+        # bwd epilogue mode (residual read takes the ragged-H zero-pad
+        # fallback). The boundary here is bc->o with bc <= 64 (the production
+        # gate, conv_train._bnact_bwd): the residual and the affine carry the
+        # boundary's INPUT channel count bc.
+        bc = min(c, 64)
+        res = jnp.asarray(rng.normal(size=(n, h, w, bc)).astype(np.float32)).astype(jnp.bfloat16)
+        pa = jnp.asarray(rng.normal(size=(bc,)).astype(np.float32))
+        pb = jnp.asarray((rng.normal(size=(bc,)) * 0.1).astype(np.float32))
+        wb_ = jnp.asarray((rng.normal(size=(3, 3, bc, o)) * 0.1).astype(np.float32))
+        wt = jnp.transpose(wb_[::-1, ::-1], (0, 1, 3, 2))  # (3,3,o,bc)
         zb = jnp.zeros((o,), jnp.float32)
         dx, (dpa, dpb) = conv3x3_packed(
             g, wt.astype(jnp.bfloat16), zb, pa, pb, res, relu=False,
             lane_stride=64, out_dtype=jnp.bfloat16,
         )
-        dz = conv_ref(g, wt, jnp.zeros((wt.shape[-1],)))
+        dz = conv_ref(g, wt, jnp.zeros((bc,)))
         m = (res.astype(jnp.float32) * pa + pb) > 0
-        mdz = jnp.where(m, dz[..., :o], 0.0)
-        dx_r = (mdz * pa).astype(jnp.float32)
+        mdz = jnp.where(m, dz, 0.0)
+        dx_r = mdz * pa
         dev_dx = float(jnp.max(jnp.abs(dx.astype(jnp.float32) - dx_r.astype(jnp.bfloat16).astype(jnp.float32))))
         dpa_r = jnp.sum(mdz * res.astype(jnp.float32), axis=(0, 1, 2))
         dpb_r = jnp.sum(mdz, axis=(0, 1, 2))
         dev_dpa = float(jnp.max(jnp.abs(dpa - dpa_r) / (jnp.abs(dpa_r) + 1)))
         dev_dpb = float(jnp.max(jnp.abs(dpb - dpb_r) / (jnp.abs(dpb_r) + 1)))
-        print(f"{tag} bwd-epi    dev_dx={dev_dx:.2e} dev_dpa={dev_dpa:.2e} dev_dpb={dev_dpb:.2e}",
+        print(f"{tag} bwd-epi bc={bc} dev_dx={dev_dx:.2e} dev_dpa={dev_dpa:.2e} dev_dpb={dev_dpb:.2e}",
               flush=True)
 
         # wgrad (ragged H pads g internally)
