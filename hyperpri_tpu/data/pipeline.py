@@ -91,6 +91,13 @@ class DataLoader:
         # consumes; opt-in here).
         self.weighted = weighted
         self.epoch = 0
+        # Host pre-padded ingest (models/parts.first_conv_ingest_spec):
+        # when set, every yielded batch's image is embedded into a zeroed
+        # (H_pad, W_pad, C_pad) buffer at (row0, col0) on the host, so the
+        # first packed conv's fwd/wgrad read it raw and the full-resolution
+        # in-graph pad never runs. probe() stays LOGICAL (it feeds model
+        # init). The Trainer sets this after probing shapes.
+        self.image_pad_spec = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -177,6 +184,8 @@ class DataLoader:
         for b in it:
             if self.image_dtype is not None and b["image"].dtype != self.image_dtype:
                 b["image"] = b["image"].astype(self.image_dtype)
+            if self.image_pad_spec is not None:
+                b["image"] = pre_pad_images(b["image"], self.image_pad_spec)
             if self.device_put:
                 names = b.pop("names")
                 arrays = {k: v for k, v in b.items()}
@@ -194,6 +203,19 @@ class DataLoader:
                 yield arrays
             else:
                 yield b
+
+
+def pre_pad_images(image: np.ndarray, spec) -> np.ndarray:
+    """Embed a logical (N, H, W, C) image batch into the zeroed pre-padded
+    ingest buffer (models/parts.first_conv_ingest_spec geometry): logical
+    (0,0) at (row0, col0), lanes zero-extended. One host-side copy per batch,
+    absorbed by the loader's prefetch — replaces a ~1.9 ms/step on-device
+    full-resolution pad (BENCHMARKS.md)."""
+    (hp, wp, cp), (r0, c0) = spec
+    n, h, w, c = image.shape
+    buf = np.zeros((n, hp, wp, cp), image.dtype)
+    buf[:, r0 : r0 + h, c0 : c0 + w, :c] = image
+    return buf
 
 
 def epoch_metrics_mask(mask: np.ndarray, valid: np.ndarray) -> np.ndarray:

@@ -47,11 +47,18 @@ class CubeNET(nn.Module):
     use_pallas: bool = False  # serving path: fused Pallas conv kernels
     pallas_train: bool = False  # trainable Pallas convs at full-res shapes
     spatial_mesh: Any = None  # H-sharded SPMD: explicit halo-exchange convs
+    # Host-ingest: logical (h, w) when train batches arrive HOST-pre-padded
+    # for the first packed conv (parts.first_conv_ingest_spec geometry) — the
+    # ~1.9 ms/step shared fwd/wgrad 238->256 input pad never runs on device.
+    # Set only on the train-step clone; init/eval use the plain model.
+    ingest_hw: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
-        if x.shape[-1] != self.hsi_depth:
+        if self.ingest_hw is not None and not train:
+            raise ValueError("pre-padded ingest is a train-step-only contract")
+        if self.ingest_hw is None and x.shape[-1] != self.hsi_depth:
             raise ValueError(
                 f"CubeNET expects {self.hsi_depth} bands (NHWC), got shape {x.shape}"
             )
@@ -86,7 +93,11 @@ class CubeNET(nn.Module):
             from hyperpri_tpu.models.parts import _packed_train_route, arena_compatible
 
             want_stats = train and not self.fused_bn
-            n, h, w = x.shape[0], x.shape[1], x.shape[2]
+            n = x.shape[0]
+            if self.ingest_hw is not None:
+                h, w = self.ingest_hw
+            else:
+                h, w = x.shape[1], x.shape[2]
             # first_conv -> first_bn -> ReLU -> inc2_conv is the same fusable
             # boundary shape as DoubleConv's conv1->bn1->relu->conv2: fold the
             # bn-apply + ReLU into inc2_conv's Pallas prologue and, when the
@@ -102,7 +113,8 @@ class CubeNET(nn.Module):
                 and arena_compatible(h, w, self.hsi_depth, fd, fd, self.dtype)
             )
             x1, st = Conv3x3(fd, pallas_train=self.pallas_train, spatial_mesh=self.spatial_mesh, dtype=self.dtype, name="first_conv")(
-                x, collect_stats=want_stats, train=train, arena_out=arena
+                x, collect_stats=want_stats, train=train, arena_out=arena,
+                pre_padded=(h, w, self.hsi_depth) if self.ingest_hw is not None else None,
             )
             prologue = None
             if not self.fused_bn:

@@ -86,6 +86,31 @@ def arena_compatible(h, w, c1, o1, o2, dtype, prologue1=False):
     return -(-w // tw2) * tw2 <= e1[1]
 
 
+def first_conv_ingest_spec(h, w, c, o, dtype, pallas_train=True, train=True,
+                           spatial_mesh=None):
+    """Host-side pre-padded ingest geometry for the network's first packed
+    conv (ops/pallas/conv3x3_packed pre_padded): the HOST writes each cube
+    into a zeroed (H_pad, W_pad, C_pad) buffer at (row0, col0) = (1, 1) and
+    the fwd + wgrad kernels read it raw — the shared full-resolution
+    1-px-halo + lane pad (~1.9 ms/step for CubeNET's 238->256 first conv,
+    round-3 hlo_stats) never runs on device.
+
+    Returns ((H_pad, W_pad, C_pad), (row0, col0)), or None when the packed
+    route would not fire for this shape (caller must then feed logical
+    cubes). Reproduces conv3x3_packed's own fit_tiles call so the geometry
+    can never drift from the kernel's window cover."""
+    if not _packed_train_route(h, w, c, o, pallas_train, train, spatial_mesh):
+        return None
+    from hyperpri_tpu.ops.pallas.conv3x3_packed import fit_tiles
+
+    from hyperpri_tpu.ops.pallas.conv_train import _PACKED_LS
+
+    th, tw = fit_tiles(h, w, c, o, dtype, dtype, lane_stride=_PACKED_LS)
+    n_h, n_w = -(-h // th), -(-w // tw)
+    c_pad = -(-c // 128) * 128
+    return (n_h * th + 2, n_w * tw + 8, c_pad), (1, 1)
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm with exact torch semantics.
 
@@ -239,7 +264,8 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, collect_stats: bool = False, train: bool = False,
-                 prologue=None, arena_out: bool = False, arena_hw=None):
+                 prologue=None, arena_out: bool = False, arena_hw=None,
+                 pre_padded=None):
         """Returns (y, stats) where stats is a (sum, sumsq) f32 pair of
         per-channel BatchNorm batch statistics when `collect_stats` and the
         Pallas path is active (computed in the kernel epilogue), else None —
@@ -268,6 +294,13 @@ class Conv3x3(nn.Module):
                 raise ValueError("arena input needs the masking prologue")
             c = prologue[0].shape[-1]
             h_log, w_log = arena_hw
+        elif pre_padded is not None:
+            # Host-ingest conv (first_conv_ingest_spec): x is the pre-padded
+            # buffer; logical (h, w) and the true channel count are declared
+            # by the caller (unreadable from the padded shape).
+            if prologue is not None or arena_hw is not None:
+                raise ValueError("pre-padded ingest is the bare first conv")
+            h_log, w_log, c = pre_padded
         else:
             c = x.shape[-1]
             h_log, w_log = x.shape[1], x.shape[2]
@@ -297,6 +330,16 @@ class Conv3x3(nn.Module):
                     f"features={self.features}, arena_out={arena_out}, arena_hw={arena_hw}")
             if not (collect_stats and (arena_hw is None or prologue is not None)):
                 raise ValueError("arena conv requires collect_stats and a masking prologue")
+        if pre_padded is not None and not (
+            use_pallas and collect_stats and self.features <= PACKED_MAX_O
+        ):
+            # wiring (first_conv_ingest_spec) only pre-pads when the packed
+            # stats route is certain; raise so a miswire never feeds a padded
+            # buffer to the XLA conv as if it were the logical cube
+            raise ValueError(
+                f"pre-padded ingest off the packed stats route: "
+                f"use_pallas={use_pallas}, collect_stats={collect_stats}, "
+                f"features={self.features}")
         # Eval stays on XLA: the tap-packed kernel wins per-op at C>64/O<=64
         # (first conv 7.2 vs 10.9 ms) but measured SLOWER composed into the
         # batch-1 serving graph (38.7 vs 60.0 cubes/s whole-model) — XLA's
@@ -353,6 +396,7 @@ class Conv3x3(nn.Module):
                 y, s, ss = conv3x3_bias_stats_train(
                     x, kernel.astype(self.dtype), bias.astype(jnp.float32),
                     False, arena_out,
+                    (h_log, w_log) if pre_padded is not None else None,
                 )
                 return y, (s, ss)
             return (

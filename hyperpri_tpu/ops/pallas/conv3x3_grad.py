@@ -179,7 +179,8 @@ def _wgrad_kernel(*refs, th: int, wo: int, h: int, w: int, n_chunks: int,
 
 
 @functools.partial(jax.jit, static_argnames=("th", "pad_w_to", "interpret",
-                                              "arena_in", "arena_g", "logical_hw"))
+                                              "arena_in", "arena_g", "logical_hw",
+                                              "pre_padded_c"))
 def conv3x3_wgrad(
     x: jnp.ndarray,
     g: jnp.ndarray,
@@ -195,6 +196,7 @@ def conv3x3_wgrad(
     arena_in: bool = False,
     arena_g: bool = False,
     logical_hw: Optional[tuple] = None,
+    pre_padded_c: Optional[int] = None,
 ):
     """dW (3, 3, C, O) f32 for y = conv3x3_same(act_in(x), w), given
     cotangent g.
@@ -230,6 +232,13 @@ def conv3x3_wgrad(
     arena-framed g_eff (conv_train._bnact_bwd's zero-framed pad, shared with
     the adjoint conv's arena_g read) and its lane width is taken as the
     8-rounded output-channel count.
+
+    pre_padded_c: host-ingest mode (conv3x3_packed pre_padded) — x IS the
+    padded buffer the forward consumed raw (logical (0,0) at (1,1), lanes
+    zero-extended, zeros beyond logical) and this is its true channel count
+    (unreadable from the padded shape); dW slices to it, so the zero pad
+    lanes never surface. No pad op runs on either leg; logical (h, w) come
+    from g. Mutually exclusive with pad_w_to / the arena modes.
     """
     fold = y is not None
     if fold:
@@ -259,6 +268,14 @@ def conv3x3_wgrad(
         assert (h, width) == tuple(logical_hw), (x.shape, logical_hw)
         o = gsum.shape[0] if fold else g.shape[-1]
         assert g.shape[0] == n, (x.shape, g.shape)
+    elif pre_padded_c is not None:
+        if arena_in or arena_g or pad_w_to is not None:
+            raise ValueError("pre_padded_c is a raw pre-padded read — no "
+                             "arena modes, no pad geometry to share")
+        n = x.shape[0]
+        c = pre_padded_c
+        gn, h, width, o = g.shape
+        assert gn == n, (x.shape, g.shape)
     else:
         n, h, width, c = x.shape
         gn, gh, gw, o = g.shape
@@ -275,6 +292,19 @@ def conv3x3_wgrad(
     n_chunks = cp // LANE
 
     prologue = pa is not None
+    if pre_padded_c is not None:
+        # H windows reach round_up(h, th)+2 rows on the host buffer (whose
+        # extent comes from the packed forward's th=8 cover) — shrink th
+        # until the cover fits; W needs wb columns, which the forward's
+        # n_w*tw+8 extent always covers (n_w*tw >= round_up(w, 8) = wb-8).
+        while th > 4 and _round_up(h, th) + 2 > x.shape[1]:
+            th //= 2
+        if x.shape[1] < _round_up(h, th) + 2 or x.shape[2] < wb:
+            raise ValueError(
+                f"pre-padded extent {x.shape} < wgrad window cover "
+                f"{(_round_up(h, th) + 2, wb)} for logical {(h, width)}")
+        if x.shape[-1] < cp:
+            raise ValueError(f"pre-padded lanes {x.shape[-1]} < {cp}")
     if arena_in:
         # H windows reach round_up(h, th)+9 rows; the arena's +16 slack
         # covers that only while the tile cover matches the producer's
@@ -322,8 +352,8 @@ def conv3x3_wgrad(
         th //= 2
 
     n_h_blocks = pl.cdiv(h, th)
-    if arena_in:
-        xp = x  # read raw through shifted arena windows — the whole point
+    if arena_in or pre_padded_c is not None:
+        xp = x  # read raw through shifted arena / host pre-padded windows
     else:
         bottom = n_h_blocks * th - h + 1
         # x: 1-px SAME border + bottom/right alignment (zeros). g is consumed

@@ -302,7 +302,8 @@ def _kernel(*refs, th, tw, twb, relu, op, ls, stats_hw=None, pro_hw=None,
 @functools.partial(
     jax.jit,
     static_argnames=("relu", "th", "tw", "out_dtype", "lane_stride", "with_stats",
-                     "interpret", "logical_hw", "arena_in", "arena_out", "arena_g"),
+                     "interpret", "logical_hw", "arena_in", "arena_out", "arena_g",
+                     "pre_padded"),
 )
 def conv3x3_packed(
     x: jnp.ndarray,
@@ -323,6 +324,7 @@ def conv3x3_packed(
     arena_in: bool = False,
     arena_out: bool = False,
     arena_g: bool = False,
+    pre_padded: bool = False,
 ):
     """y = act(conv3x3_same(act_in(x), w) + b); (N,H,W,C) x, (3,3,C,O) w,
     O <= 128.
@@ -370,6 +372,19 @@ def conv3x3_packed(
                  lane zero-extension happen in the scratch copy (no masking —
                  the frame is exact zeros, unlike prologue-arena garbage).
                  logical_hw required; extent must match arena_g_extent().
+
+    pre_padded: host-ingest mode — x IS the padded input buffer this wrapper
+    would otherwise build with jnp.pad (logical (0,0) at (1,1), lanes
+    zero-extended to round_up(C,128), zeros everywhere beyond the logical
+    crop; geometry from models/parts.first_conv_ingest_spec, which reproduces
+    this function's fit_tiles call). The full-resolution pad+copy — ~1.9 ms
+    per CubeNET train step for the shared fwd/wgrad 238->256 first-conv input
+    pad (round-3 hlo_stats) — never exists on device: the HOST writes the
+    crop into a zeroed buffer once, absorbed by the async loader's prefetch.
+    logical_hw required (h/w cannot be read off the padded shape); the true
+    channel count comes from w. Mutually exclusive with the arena modes and
+    the prologue (the ingest conv is the network's first — nothing precedes
+    it to fuse).
     """
     bwd = bwd_x is not None
     prologue = pa is not None and not bwd
@@ -377,12 +392,19 @@ def conv3x3_packed(
     c = w.shape[2]
     if arena_g and pa is not None and not bwd:
         raise ValueError("arena_g conflicts with the prologue (both own z_ref)")
+    if pre_padded and (arena_in or arena_g or prologue or bwd):
+        raise ValueError("pre_padded is the bare host-ingest conv: no arena "
+                         "modes, no prologue, no bwd epilogue")
     if (arena_in and prologue) or arena_g:
         if logical_hw is None:
             raise ValueError("arena-framed x needs logical_hw")
         h, width = logical_hw
         opx = x.shape[-1]
         assert opx >= c and opx % 8 == 0, (x.shape, c)
+    elif pre_padded:
+        if logical_hw is None:
+            raise ValueError("pre_padded x needs logical_hw")
+        h, width = logical_hw
     else:
         _, h, width, xc = x.shape
         if logical_hw is not None:
@@ -428,6 +450,18 @@ def conv3x3_packed(
             raise ValueError(
                 f"arena extent {x.shape} < consumer tile cover "
                 f"{(n_h * th + 9, n_w * tw + 16)}")
+        xp = x
+    elif pre_padded:
+        # Host-ingest: x already has the pad geometry below (built once on
+        # the host from first_conv_ingest_spec); windows read it raw. The
+        # invariants raise (not assert): a mis-sized buffer becomes raw
+        # out-of-bounds TPU window reads under `python -O` otherwise.
+        if x.shape[1] < n_h * th + 2 or x.shape[2] < n_w * tw + 8:
+            raise ValueError(
+                f"pre-padded extent {x.shape} < window cover "
+                f"{(n_h * th + 2, n_w * tw + 8)} for logical {(h, width)}")
+        if x.shape[-1] < cp:
+            raise ValueError(f"pre-padded lanes {x.shape[-1]} < {cp}")
         xp = x
     else:
         # Pad: 1-px SAME border top/left; bottom/right so every Element window

@@ -44,7 +44,7 @@ _PACKED_LS = 64
 
 def _conv_route(x, w, b, pa=None, pb=None, *, relu, with_stats=False,
                 interpret=False, logical_hw=None, arena_in=False,
-                arena_out=False):
+                arena_out=False, pre_padded=False):
     """One 3x3 SAME conv, routed to the best measured kernel for its output
     width (scripts/bench_conv_kernels.py on v5e): O <= 64 -> tap-packed
     fat-N dots (conv3x3_packed, lane stride 64; 238->64 7.2 vs 9.2 ms halo,
@@ -58,9 +58,10 @@ def _conv_route(x, w, b, pa=None, pb=None, *, relu, with_stats=False,
             x, w, b, pa, pb, relu=relu, out_dtype=x.dtype, lane_stride=_PACKED_LS,
             with_stats=with_stats, interpret=interpret,
             logical_hw=logical_hw, arena_in=arena_in, arena_out=arena_out,
+            pre_padded=pre_padded,
         )
-    if arena_in or arena_out:
-        raise ValueError("arena geometry is packed-route only")
+    if arena_in or arena_out or pre_padded:
+        raise ValueError("arena/pre-padded geometry is packed-route only")
     return conv3x3_bias_act(
         x, w, b, pa, pb, relu=relu, out_dtype=x.dtype, with_stats=with_stats,
         interpret=interpret,
@@ -115,8 +116,9 @@ def _bwd(interpret, res, g):
 conv3x3_bias_train.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def conv3x3_bias_stats_train(x, w, b, interpret=False, arena_out=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3x3_bias_stats_train(x, w, b, interpret=False, arena_out=False,
+                             pre_padded_hw=None):
     """Like conv3x3_bias_train but also returns the BatchNorm batch
     statistics of y, computed in the kernel epilogue while the f32
     accumulator is in VMEM: (y, sum_c, sumsq_c) with the (O,) f32 per-channel
@@ -130,18 +132,27 @@ def conv3x3_bias_stats_train(x, w, b, interpret=False, arena_out=False):
     arena_out: y is returned arena-framed (conv3x3_packed docstring) so a
     fused consumer (conv3x3_bnact_stats_train with arena_hw) reads it with
     no pad/slice pass between the kernels; the stats stay logical.
+
+    pre_padded_hw: logical (h, w) when x arrives HOST-pre-padded (the network
+    ingest conv; conv3x3_packed pre_padded docstring) — both the forward and
+    the wgrad read it raw, so the shared full-resolution input pad never runs
+    on device. dx is returned as zeros in x's (padded) aval: the ingest
+    buffer is leaf data with no gradient consumer, and XLA DCEs the zeros.
     """
     y, stats = _conv_route(x, w, b, relu=False, with_stats=True,
-                           interpret=interpret, arena_out=arena_out)
+                           interpret=interpret, arena_out=arena_out,
+                           logical_hw=pre_padded_hw,
+                           pre_padded=pre_padded_hw is not None)
     return y, stats[0], stats[1]
 
 
-def _stats_fwd(x, w, b, interpret, arena_out=False):
-    y, s, ss = conv3x3_bias_stats_train(x, w, b, interpret, arena_out)
+def _stats_fwd(x, w, b, interpret, arena_out=False, pre_padded_hw=None):
+    y, s, ss = conv3x3_bias_stats_train(x, w, b, interpret, arena_out,
+                                        pre_padded_hw)
     return (y, s, ss), (x, w, y)
 
 
-def _stats_bwd(interpret, arena_out, res, cotangents):
+def _stats_bwd(interpret, arena_out, pre_padded_hw, res, cotangents):
     x, w, y = res
     gy, gsum, gsumsq = cotangents
     if arena_out:
@@ -150,7 +161,7 @@ def _stats_bwd(interpret, arena_out, res, cotangents):
         # the borders) but gsum broadcasting would make them nonzero — slice
         # to logical before the elementwise fold. The slices fuse into the
         # pad-rooted g_eff fusions feeding the adjoint/wgrad kernels.
-        h, w_ = x.shape[1], x.shape[2]
+        h, w_ = pre_padded_hw if pre_padded_hw is not None else (x.shape[1], x.shape[2])
         o = w.shape[-1]
         gy = gy[:, 8 : 8 + h, 8 : 8 + w_, :o]
         y = y[:, 8 : 8 + h, 8 : 8 + w_, :o]
@@ -163,11 +174,25 @@ def _stats_bwd(interpret, arena_out, res, cotangents):
     zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
     o = w.shape[-1]
     bc = w.shape[2]  # adjoint conv's output channels
+    if pre_padded_hw is not None:
+        # Host-ingest conv: the wgrad reads the pre-padded x raw (no pad op
+        # on any leg); dx is zeros in x's padded aval — the ingest buffer is
+        # leaf data, its cotangent has no consumer, and XLA DCEs the zeros.
+        dw = conv3x3_wgrad(x, g_eff, pre_padded_c=bc,
+                           interpret=interpret).astype(w.dtype)
+        db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 1, 2))
+        return jnp.zeros_like(x), dw, db
     h, w_ = x.shape[1], x.shape[2]
+    # Adjoint output channels up to 128 stay on the packed kernel (full-lane
+    # stride above _PACKED_LS): at bc in (64, 128] the halo route pays a
+    # separate full-res 64->128-lane input pad (pad.736, 0.93 ms at
+    # 608x968 in the round-4 post-ingest hlo_stats) that the arena-g read
+    # avoids.
+    ls = _PACKED_LS if bc <= _PACKED_LS else 128
     ext = (
         arena_g_extent(h, w_, o, bc, x.dtype, x.dtype,
-                       lane_stride=_PACKED_LS, affine_bwd=False)
-        if bc <= _PACKED_LS and o % 8 == 0
+                       lane_stride=ls, affine_bwd=False)
+        if bc <= 128 and o % 8 == 0
         else None
     )
     if ext is not None:
@@ -179,7 +204,7 @@ def _stats_bwd(interpret, arena_out, res, cotangents):
         g_arena = jnp.pad(g_eff, ((0, 0), (8, eh + 8 - h), (8, ew + 8 - w_), (0, 0)))
         dx = conv3x3_packed(
             g_arena, wt, zero_bias, relu=False, out_dtype=x.dtype,
-            lane_stride=_PACKED_LS, interpret=interpret,
+            lane_stride=ls, interpret=interpret,
             logical_hw=(h, w_), arena_g=True,
         )
         dw = _wgrad(x, g_arena, o, interpret, arena_g=True,

@@ -145,8 +145,14 @@ def _batch_stats_metrics(logits, mask, valid, threshold):
     return StatScores.zeros().update(probs_pos, mask, threshold, valid=v)
 
 
-def make_train_step(threshold: float, opt_device_shardings=None, grad_sharding=None):
-    """opt_device_shardings: when the optimizer state lives in pinned host
+def make_train_step(threshold: float, opt_device_shardings=None, grad_sharding=None,
+                    apply_fn=None):
+    """apply_fn: override for state.apply_fn — the host-ingest path passes
+    the apply of a model clone with ingest_hw set (batches arrive pre-padded
+    for the first packed conv; parts.first_conv_ingest_spec) while the state,
+    checkpoints, and eval keep the plain model.
+
+    opt_device_shardings: when the optimizer state lives in pinned host
     memory (ZeRO-3-offload equivalent, PLTrainer.py:414-419), a pytree of
     device shardings it is streamed onto for the update; the jit's
     out_shardings pin the new state back to host.
@@ -162,7 +168,7 @@ def make_train_step(threshold: float, opt_device_shardings=None, grad_sharding=N
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def loss_fn(params):
-            logits, updates = state.apply_fn(
+            logits, updates = (apply_fn or state.apply_fn)(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["image"],
                 train=True,
@@ -334,7 +340,34 @@ class Trainer:
             return state
         return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
 
-    def _compile_steps(self, state: TrainState):
+    def _ingest_setup(self, sample, train_loader):
+        """Host pre-padded ingest wiring (parts.first_conv_ingest_spec):
+        when the first packed conv's route is certain, point the train
+        loader at the pad spec and return the ingest-model apply override
+        for make_train_step. State, checkpoints, and eval keep the plain
+        model — the contract is train-step-only."""
+        cfg = self.cfg
+        if (
+            self.mesh is not None
+            or not cfg.pallas_train
+            or not hasattr(self.model, "ingest_hw")
+            or not hasattr(train_loader, "image_pad_spec")
+        ):
+            return None
+        from hyperpri_tpu.models.parts import first_conv_ingest_spec
+
+        img = np.asarray(sample["image"])
+        h, w, c = img.shape[1], img.shape[2], img.shape[3]
+        spec = first_conv_ingest_spec(
+            h, w, c, self.model.first_depth, cfg.compute_dtype,
+            pallas_train=cfg.pallas_train, train=True, spatial_mesh=None,
+        )
+        if spec is None:
+            return None
+        train_loader.image_pad_spec = spec
+        return self.model.clone(ingest_hw=(h, w)).apply
+
+    def _compile_steps(self, state: TrainState, train_apply_fn=None):
         offload = self.cfg.offload_opt_state and self.mesh is not None
         state_sh = self._shardings_for_state(state, host_opt=offload)
         batch_sh = self._batch_shardings()
@@ -349,7 +382,8 @@ class Trainer:
             else None
         )
         train = make_train_step(
-            self.cfg.threshold, opt_device_shardings=opt_dev, grad_sharding=grad_sh
+            self.cfg.threshold, opt_device_shardings=opt_dev, grad_sharding=grad_sh,
+            apply_fn=train_apply_fn,
         )
         evals = make_eval_step(0.5)
         predict = make_eval_step(0.5, return_logits=True)
@@ -385,7 +419,7 @@ class Trainer:
         )
         state = create_train_state(cfg, self.model, np.asarray(sample["image"][:1]), cfg.run_num)
         state = self._place_state(state)
-        self._compile_steps(state)
+        self._compile_steps(state, train_apply_fn=self._ingest_setup(sample, train_loader))
 
         # Under a mesh, per-epoch full-state saves go through orbax: sharded
         # write + sharding-aware restore, each host writing only its shards

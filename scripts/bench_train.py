@@ -37,6 +37,10 @@ def main():
     p.add_argument("--pallas-train", action=argparse.BooleanOptionalAction, default=None,
                    help="route full-res convs through the trainable Pallas kernels "
                         "(default: the config default — on for single-chip TPU)")
+    p.add_argument("--ingest", action=argparse.BooleanOptionalAction, default=None,
+                   help="host pre-padded ingest for the first packed conv "
+                        "(default: on whenever the route supports it — "
+                        "production trainer behavior)")
     p.add_argument("--shard-map", action="store_true",
                    help="wrap the gated convs in the shard_map mesh route on a "
                         "trivial 1-device mesh (measures the multi-chip path's "
@@ -76,7 +80,26 @@ def main():
     import numpy as np
 
     state = create_train_state(cfg, model, np.zeros((1, 64, 64, channels), np.float32), seed=0)
-    train_step = make_train_step(cfg.threshold)
+
+    # Host pre-padded ingest (parts.first_conv_ingest_spec): the trainer's
+    # production wiring — the loader writes each cube into a zeroed padded
+    # buffer once on the host and the first conv's fwd/wgrad read it raw.
+    ingest_spec = None
+    if args.ingest is not False and args.model == "CubeNET" and not args.shard_map:
+        from hyperpri_tpu.models.parts import first_conv_ingest_spec
+
+        compute_dt = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+        ingest_spec = first_conv_ingest_spec(
+            h, w, channels, cfg.cube_featmaps, compute_dt,
+            pallas_train=cfg.pallas_train, train=True, spatial_mesh=None,
+        )
+        if args.ingest and ingest_spec is None:
+            raise SystemExit("--ingest requested but the packed route is off "
+                             "for this shape/backend")
+    apply_fn = None
+    if ingest_spec is not None:
+        apply_fn = model.clone(ingest_hw=(h, w)).apply
+    train_step = make_train_step(cfg.threshold, apply_fn=apply_fn)
 
     K = args.steps
 
@@ -91,6 +114,16 @@ def main():
     base_key = jax.random.key(123)
     image_dt = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     base_image = jax.random.normal(base_key, (args.batch, h, w, channels), jnp.float32).astype(image_dt)
+    if ingest_spec is not None:
+        # Pre-padded ingest: embed the logical cube at (1,1) of the zeroed
+        # padded buffer (what the loader does on host in production; here
+        # once, outside the timed region). The per-step noise band below is
+        # written INSIDE the logical window so the zero pad framing — part
+        # of the kernel contract — is never clobbered.
+        (hp, wp, cp), (r0, c0) = ingest_spec
+        base_image = jnp.zeros((args.batch, hp, wp, cp), image_dt).at[
+            :, r0 : r0 + h, c0 : c0 + w, :channels
+        ].set(base_image)
     base_mask = (jax.random.uniform(base_key, (args.batch, h, w, 1)) < 0.3).astype(jnp.float32)
 
     # (base_image is NOT donated: it is re-fed on every timed dispatch; the
@@ -101,7 +134,9 @@ def main():
 
         def body(carry, band):
             st, image, _ = carry
-            image = jax.lax.dynamic_update_slice(image, band, (0, 0, 0, 0))
+            # inside the logical window when pre-padded (offset (1,1))
+            off = (0, 1, 1, 0) if ingest_spec is not None else (0, 0, 0, 0)
+            image = jax.lax.dynamic_update_slice(image, band, off)
             batch = {
                 "image": image,
                 "mask": base_mask,

@@ -47,10 +47,22 @@ def main():
     channels = cfg.channels
     model = cfg.get_network()
     state = create_train_state(cfg, model, np.zeros((1, 64, 64, channels), np.float32), seed=0)
-    train_step = make_train_step(cfg.threshold)
 
     b, h, w = args.batch, 608, 968
     K = args.steps
+
+    # Host pre-padded ingest when the route supports it (production trainer
+    # wiring; see scripts/bench_train.py) — trace the graph users actually run.
+    ingest_spec = None
+    if not args.infer:
+        from hyperpri_tpu.models.parts import first_conv_ingest_spec
+
+        ingest_spec = first_conv_ingest_spec(
+            h, w, channels, cfg.cube_featmaps, cfg.compute_dtype,
+            pallas_train=cfg.pallas_train, train=True, spatial_mesh=None,
+        )
+    apply_fn = model.clone(ingest_hw=(h, w)).apply if ingest_spec is not None else None
+    train_step = make_train_step(cfg.threshold, apply_fn=apply_fn)
 
     # Same input staging as scripts/bench_train.py: a base batch staged
     # outside the step, varied per step by an in-place 8-row noise band
@@ -59,6 +71,11 @@ def main():
     base_key = jax.random.key(123)
     image_dt = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
     base_image = jax.random.normal(base_key, (b, h, w, channels), jnp.float32).astype(image_dt)
+    if ingest_spec is not None:
+        (hp, wp, cp), (r0, c0) = ingest_spec
+        base_image = jnp.zeros((b, hp, wp, cp), image_dt).at[
+            :, r0 : r0 + h, c0 : c0 + w, :channels
+        ].set(base_image)
     base_mask = (jax.random.uniform(base_key, (b, h, w, 1)) < 0.3).astype(jnp.float32)
 
     @jax.jit
@@ -67,7 +84,8 @@ def main():
 
         def body(carry, band):
             st, image, acc = carry
-            image = jax.lax.dynamic_update_slice(image, band, (0, 0, 0, 0))
+            off = (0, 1, 1, 0) if ingest_spec is not None else (0, 0, 0, 0)
+            image = jax.lax.dynamic_update_slice(image, band, off)
             batch = {"image": image, "mask": base_mask, "valid": jnp.ones((b,))}
             if args.infer:
                 logits = st.apply_fn(
