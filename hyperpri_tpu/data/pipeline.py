@@ -211,8 +211,19 @@ def pre_pad_images(image: np.ndarray, spec) -> np.ndarray:
     (0,0) at (row0, col0), lanes zero-extended. One host-side copy per batch,
     absorbed by the loader's prefetch — replaces a ~1.9 ms/step on-device
     full-resolution pad (BENCHMARKS.md)."""
-    (hp, wp, cp), (r0, c0) = spec
+    (hp, wp, cp), (r0, c0) = spec[0], spec[1]
     n, h, w, c = image.shape
+    if len(spec) > 2:
+        # The spec carries the logical dims it was probed with: a batch whose
+        # crop drifted (e.g. 606 rows vs the probed 608, same padded extent)
+        # would embed silently — zero rows entering the first conv's BN batch
+        # statistics with no shape error and no recompile. Fail loudly instead.
+        if (h, w, c) != tuple(spec[2]):
+            raise ValueError(
+                f"pre-padded ingest spec was probed for logical {tuple(spec[2])} "
+                f"(h, w, c) but this batch is {(h, w, c)} — the crop shape "
+                "changed after the Trainer wired the ingest spec"
+            )
     buf = np.zeros((n, hp, wp, cp), image.dtype)
     buf[:, r0 : r0 + h, c0 : c0 + w, :c] = image
     return buf

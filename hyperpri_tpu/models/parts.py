@@ -95,10 +95,14 @@ def first_conv_ingest_spec(h, w, c, o, dtype, pallas_train=True, train=True,
     1-px-halo + lane pad (~1.9 ms/step for CubeNET's 238->256 first conv,
     round-3 hlo_stats) never runs on device.
 
-    Returns ((H_pad, W_pad, C_pad), (row0, col0)), or None when the packed
-    route would not fire for this shape (caller must then feed logical
-    cubes). Reproduces conv3x3_packed's own fit_tiles call so the geometry
-    can never drift from the kernel's window cover."""
+    Returns ((H_pad, W_pad, C_pad), (row0, col0), (h, w, c)), or None when
+    the packed route would not fire for this shape (caller must then feed
+    logical cubes). The third element records the LOGICAL dims the spec was
+    probed with so pipeline.pre_pad_images can reject a batch whose crop
+    drifted from them (a smaller crop would embed silently and feed zero
+    rows into the first conv's BN statistics — no shape error, no
+    recompile). Reproduces conv3x3_packed's own fit_tiles call so the
+    geometry can never drift from the kernel's window cover."""
     if not _packed_train_route(h, w, c, o, pallas_train, train, spatial_mesh):
         return None
     from hyperpri_tpu.ops.pallas.conv3x3_packed import fit_tiles
@@ -108,7 +112,7 @@ def first_conv_ingest_spec(h, w, c, o, dtype, pallas_train=True, train=True,
     th, tw = fit_tiles(h, w, c, o, dtype, dtype, lane_stride=_PACKED_LS)
     n_h, n_w = -(-h // th), -(-w // tw)
     c_pad = -(-c // 128) * 128
-    return (n_h * th + 2, n_w * tw + 8, c_pad), (1, 1)
+    return (n_h * th + 2, n_w * tw + 8, c_pad), (1, 1), (h, w, c)
 
 
 class TorchBatchNorm(nn.Module):

@@ -382,9 +382,13 @@ def conv3x3_packed(
     pad (round-3 hlo_stats) — never exists on device: the HOST writes the
     crop into a zeroed buffer once, absorbed by the async loader's prefetch.
     logical_hw required (h/w cannot be read off the padded shape); the true
-    channel count comes from w. Mutually exclusive with the arena modes and
+    channel count comes from w. Mutually exclusive with arena_in/arena_g and
     the prologue (the ingest conv is the network's first — nothing precedes
-    it to fuse).
+    it to fuse). arena_out IS permitted and the exclusion check below
+    deliberately omits it: input framing (where this conv reads from) and
+    output framing (where it writes to) are independent, and CubeNET's
+    ingest first conv relies on pre_padded + arena_out for the
+    first_conv -> inc2 arena chain.
     """
     bwd = bwd_x is not None
     prologue = pa is not None and not bwd

@@ -347,9 +347,15 @@ class Trainer:
         for make_train_step. State, checkpoints, and eval keep the plain
         model — the contract is train-step-only."""
         cfg = self.cfg
+        # Gate on the MODEL INSTANCE's attributes, not just cfg: a custom
+        # model passed to Trainer(cfg, model=...) with pallas_train=False or
+        # fused_bn=True would otherwise get ingest wired anyway and die at
+        # trace time inside the kernel instead of cleanly skipping ingest.
         if (
             self.mesh is not None
             or not cfg.pallas_train
+            or not getattr(self.model, "pallas_train", False)
+            or getattr(self.model, "fused_bn", False)
             or not hasattr(self.model, "ingest_hw")
             or not hasattr(train_loader, "image_pad_spec")
         ):
@@ -359,8 +365,9 @@ class Trainer:
         img = np.asarray(sample["image"])
         h, w, c = img.shape[1], img.shape[2], img.shape[3]
         spec = first_conv_ingest_spec(
-            h, w, c, self.model.first_depth, cfg.compute_dtype,
-            pallas_train=cfg.pallas_train, train=True, spatial_mesh=None,
+            h, w, c, self.model.first_depth,
+            getattr(self.model, "dtype", cfg.compute_dtype),
+            pallas_train=True, train=True, spatial_mesh=None,
         )
         if spec is None:
             return None
@@ -555,6 +562,12 @@ class Trainer:
 
         if orbax is not None:
             orbax.close()  # drain pending async writes before returning
+        if getattr(train_loader, "image_pad_spec", None) is not None:
+            # The ingest spec is a train-step-only contract; a loader reused
+            # for predict()/eval after fit() must yield logical cubes again
+            # (the plain model would reject 256-lane pre-padded images with a
+            # misleading channel-count error).
+            train_loader.image_pad_spec = None
         return FitResult(
             epochs_run=epoch - start_epoch + 1,
             best_val_loss=best_val_loss,

@@ -120,7 +120,7 @@ def main():
         # once, outside the timed region). The per-step noise band below is
         # written INSIDE the logical window so the zero pad framing — part
         # of the kernel contract — is never clobbered.
-        (hp, wp, cp), (r0, c0) = ingest_spec
+        (hp, wp, cp), (r0, c0) = ingest_spec[0], ingest_spec[1]
         base_image = jnp.zeros((args.batch, hp, wp, cp), image_dt).at[
             :, r0 : r0 + h, c0 : c0 + w, :channels
         ].set(base_image)

@@ -72,7 +72,7 @@ def main():
     image_dt = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
     base_image = jax.random.normal(base_key, (b, h, w, channels), jnp.float32).astype(image_dt)
     if ingest_spec is not None:
-        (hp, wp, cp), (r0, c0) = ingest_spec
+        (hp, wp, cp), (r0, c0) = ingest_spec[0], ingest_spec[1]
         base_image = jnp.zeros((b, hp, wp, cp), image_dt).at[
             :, r0 : r0 + h, c0 : c0 + w, :channels
         ].set(base_image)

@@ -122,6 +122,21 @@ def test_pre_pad_images_layout():
     assert buf.sum() == img.sum()  # everything outside the window is zero
 
 
+def test_pre_pad_images_rejects_drifted_crop():
+    """A 3-tuple spec carries the probed logical (h, w, c); a batch whose
+    crop drifted (same padded extent, fewer rows) must fail loudly instead
+    of embedding silently with zero rows in the first conv's BN stats."""
+    from hyperpri_tpu.data.pipeline import pre_pad_images
+
+    spec = ((10, 16, 8), (1, 1), (5, 6, 3))
+    ok = pre_pad_images(np.zeros((2, 5, 6, 3), np.float32), spec)
+    assert ok.shape == (2, 10, 16, 8)
+    with pytest.raises(ValueError, match="crop shape"):
+        pre_pad_images(np.zeros((2, 4, 6, 3), np.float32), spec)
+    with pytest.raises(ValueError, match="crop shape"):
+        pre_pad_images(np.zeros((2, 5, 6, 2), np.float32), spec)
+
+
 def test_cubenet_ingest_is_train_only():
     from hyperpri_tpu.models.cubenet import CubeNET
 
