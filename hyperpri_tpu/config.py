@@ -95,6 +95,18 @@ class ExperimentConfig:
     # TPU execution -------------------------------------------------------
     precision: str = "fp32"  # 'fp32' | 'bf16'
     remat: bool = False
+    # SpectralUNET host-offloaded remat: block residuals cross the fwd->bwd
+    # gap in pinned host memory (trainer.spectral_offload_policy) — the
+    # single-chip answer to the reference's >=2-GPU ZeRO-2 requirement at
+    # the full paper protocol (README.md:67-68). Numerics identical to the
+    # unoffloaded step (regression-tested).
+    offload: bool = False
+    # Chunked-pixel gradient accumulation (train/chunked.py): split each
+    # batch's pixels into this many chunks, accumulate grads, one optimizer
+    # update. BN batch statistics are per chunk — at grad_accum_chunks ==
+    # batch size this is exactly the REFERENCE's per-image BN semantics (its
+    # Python loop, models.py:132-141). 0 = off (whole-batch joint stats).
+    grad_accum_chunks: int = 0
     # Trainable Pallas convs for the full-resolution layers: -26% CubeNET /
     # -14% UNET train-step time on one chip (BENCHMARKS.md round 2). Active
     # only on a TPU backend at qualifying shapes; the Trainer forces it off
@@ -161,6 +173,7 @@ class ExperimentConfig:
             "spectral_bn_size": self.spectral_bn_size,
             "3d_featmaps": self.cube_featmaps,
             "remat": self.remat,
+            "offload": self.offload,
             "pallas_train": self.pallas_train,
         }
 

@@ -42,6 +42,7 @@ def initialize_model(
             n_classes=num_classes,
             bn_feats=network_parameters["spectral_bn_size"],
             remat=network_parameters.get("remat", False),
+            offload=network_parameters.get("offload", False),
             dtype=dtype,
         )
     if name == "cubenet":

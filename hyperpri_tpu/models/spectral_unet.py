@@ -27,6 +27,7 @@ from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from hyperpri_tpu.models.parts import TorchBatchNorm
 
@@ -59,6 +60,13 @@ class SpectralBlock(nn.Module):
         return nn.relu(x).astype(self.dtype)
 
 
+#: checkpoint_name tag applied to every SpectralBlock output when
+#: ``offload=True``. The trainer's matching remat policy
+#: (train/trainer.py:spectral_offload_policy) offloads exactly these values
+#: to pinned host memory across the fwd->bwd gap.
+OFFLOAD_TAG = "spectral_act"
+
+
 class SpectralUNET(nn.Module):
     hsi_depth: int = 238
     n_classes: int = 1
@@ -66,6 +74,17 @@ class SpectralUNET(nn.Module):
     bnorm: bool = True
     remat: bool = False
     fused_bn: bool = False
+    #: Host-offloaded rematerialization: tag each block output with
+    #: jax.ad_checkpoint.checkpoint_name so an OUTER jax.checkpoint around
+    #: the loss (the trainer adds it; spectral_offload_policy) saves those
+    #: residuals to pinned_host instead of HBM. This is what lets the full
+    #: paper protocol — batch 2, (608,700) crops, bn_feats=1650, where the
+    #: ~10 saved (851K, 1650) residuals alone are ~28 GB — train on ONE
+    #: 16 GB chip with numerics IDENTICAL to the unchunked/unoffloaded
+    #: step (offload moves bytes; recompute re-runs the same fused ops).
+    #: The reference needed >=2 GPUs + DeepSpeed ZeRO-2 for this model
+    #: (/root/reference/README.md:67-68, src/PLTrainer.py:421-433).
+    offload: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -77,23 +96,28 @@ class SpectralUNET(nn.Module):
         n, h, w, d = x.shape
         p = x.astype(self.dtype).reshape(n * h * w, d)
 
-        block = nn.remat(SpectralBlock) if self.remat else SpectralBlock
+        # offload mode: plain blocks — the outer trainer-side checkpoint
+        # owns recompute, per-block remat would only nest redundantly.
+        block = nn.remat(SpectralBlock) if (self.remat and not self.offload) else SpectralBlock
+        tag = (
+            (lambda y: checkpoint_name(y, OFFLOAD_TAG)) if self.offload else (lambda y: y)
+        )
 
         def mk(name):
             return block(
                 self.bn_feats, self.bnorm, self.fused_bn, train, dtype=self.dtype, name=name
             )
 
-        x0 = mk("tail")(p)
-        x1 = mk("down1")(x0)
-        x2 = mk("down2")(x1)
-        x3 = mk("down3")(x2)
-        x4 = mk("down4")(x3)
+        x0 = tag(mk("tail")(p))
+        x1 = tag(mk("down1")(x0))
+        x2 = tag(mk("down2")(x1))
+        x3 = tag(mk("down3")(x2))
+        x4 = tag(mk("down4")(x3))
 
-        u = mk("up1")(x4)
-        u = mk("up2")(u, x3)
-        u = mk("up3")(u, x2)
-        u = mk("up4")(u, x1)
+        u = tag(mk("up1")(x4))
+        u = tag(mk("up2")(u, x3))
+        u = tag(mk("up3")(u, x2))
+        u = tag(mk("up4")(u, x1))
 
         # Head: concat kept inside the rematted unit (same residual-memory
         # reason), with the Dense named 'outc' for checkpoint-layout parity.
@@ -102,5 +126,5 @@ class SpectralUNET(nn.Module):
         def head(mdl, uu, xx0):
             return mdl(jnp.concatenate([xx0, uu], axis=-1))
 
-        out = (nn.remat(head) if self.remat else head)(outc, u, x0)
+        out = (nn.remat(head) if (self.remat and not self.offload) else head)(outc, u, x0)
         return out.astype(jnp.float32).reshape(n, h, w, self.n_classes)

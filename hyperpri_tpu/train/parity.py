@@ -127,6 +127,7 @@ def run_trajectory_parity(
     n_thresholds: int = 500,
     verbose: bool = False,
     chaos_control: bool = False,
+    chunked: int = 0,
 ) -> Dict[str, float]:
     """Run both trajectories; return the measured deviation summary.
 
@@ -134,6 +135,9 @@ def run_trajectory_parity(
     (python batch loop, models.py:132); the flax model takes them over the
     whole batch jointly (documented divergence). At batch=1 the two coincide,
     so SpectralUNET parity runs use batch=1 to compare everything else.
+    Alternatively pass chunked=batch: the chunked grad-accumulation step
+    (train/chunked.py) takes BN statistics per image exactly like the
+    reference's loop, so batch>1 trajectories become directly comparable.
 
     chaos_control: additionally run a SECOND torch trajectory from the same
     init with ONE weight perturbed by 1e-7 (≈1 bf16 ulp of a unit value) and
@@ -157,7 +161,12 @@ def run_trajectory_parity(
 
     # --- flax trajectory
     state = create_train_state(cfg, model, batches[0][0], seed=0)
-    train_step = jax.jit(make_train_step(threshold=0.5))
+    if chunked:
+        from hyperpri_tpu.train.chunked import make_chunked_train_step
+
+        train_step = jax.jit(make_chunked_train_step(threshold=0.5, n_chunks=chunked))
+    else:
+        train_step = jax.jit(make_train_step(threshold=0.5))
     flax_losses = []
     for img, mask in batches:
         jb = {

@@ -145,8 +145,28 @@ def _batch_stats_metrics(logits, mask, valid, threshold):
     return StatScores.zeros().update(probs_pos, mask, threshold, valid=v)
 
 
+def spectral_offload_policy():
+    """Remat policy for SpectralUNET ``offload=True`` (models/spectral_unet.py):
+    every block output tagged ``spectral_act`` is saved across the fwd->bwd
+    gap in PINNED HOST memory; everything untagged is rematerialized from the
+    nearest saved value. At the paper protocol (batch 2, (608,700) crops,
+    bn_feats=1650 — /root/reference/README.md:67-68) the ~10 tagged (851K,
+    1650) residuals are ~28 GB, far beyond one chip's HBM; offloading them
+    leaves only the per-layer working set on device, so the step the
+    reference needed >=2 GPUs + ZeRO-2 for runs on a single chip with
+    numerics identical to the unoffloaded step."""
+    from hyperpri_tpu.models.spectral_unet import OFFLOAD_TAG
+
+    return jax.checkpoint_policies.save_and_offload_only_these_names(
+        names_which_can_be_saved=[],
+        names_which_can_be_offloaded=[OFFLOAD_TAG],
+        offload_src="device",
+        offload_dst="pinned_host",
+    )
+
+
 def make_train_step(threshold: float, opt_device_shardings=None, grad_sharding=None,
-                    apply_fn=None):
+                    apply_fn=None, remat_policy=None):
     """apply_fn: override for state.apply_fn — the host-ingest path passes
     the apply of a model clone with ingest_hw set (batches arrive pre-padded
     for the first packed conv; parts.first_conv_ingest_spec) while the state,
@@ -177,6 +197,11 @@ def make_train_step(threshold: float, opt_device_shardings=None, grad_sharding=N
             loss = masked_bce(logits, batch["mask"], batch["valid"])
             return loss, (logits, updates["batch_stats"])
 
+        if remat_policy is not None:
+            # Outer checkpoint over the whole loss: residual selection (what
+            # crosses the fwd->bwd gap, and in which memory) is governed by
+            # the policy — see spectral_offload_policy.
+            loss_fn = jax.checkpoint(loss_fn, policy=remat_policy)
         (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
@@ -388,10 +413,26 @@ class Trainer:
             if (self.mesh is not None and self.cfg.zero_shard_opt)
             else None
         )
-        train = make_train_step(
-            self.cfg.threshold, opt_device_shardings=opt_dev, grad_sharding=grad_sh,
-            apply_fn=train_apply_fn,
+        policy = (
+            spectral_offload_policy() if getattr(self.model, "offload", False) else None
         )
+        if self.cfg.grad_accum_chunks > 0:
+            if self.mesh is not None:
+                raise ValueError(
+                    "grad_accum_chunks is a single-chip memory-control path; "
+                    "under a mesh use spatial sharding (--model-shard) instead"
+                )
+            from hyperpri_tpu.train.chunked import make_chunked_train_step
+
+            train = make_chunked_train_step(
+                self.cfg.threshold, self.cfg.grad_accum_chunks,
+                remat_policy=policy, apply_fn=train_apply_fn,
+            )
+        else:
+            train = make_train_step(
+                self.cfg.threshold, opt_device_shardings=opt_dev, grad_sharding=grad_sh,
+                apply_fn=train_apply_fn, remat_policy=policy,
+            )
         evals = make_eval_step(0.5)
         predict = make_eval_step(0.5, return_logits=True)
         if self.mesh is None:
@@ -439,7 +480,10 @@ class Trainer:
 
             orbax = OrbaxCheckpointer(os.path.join(cfg.save_path, "orbax"))
         ckpt = DualCheckpointManager(cfg.save_path, save_last=not use_orbax)
-        logger = ExperimentLogger(cfg.save_path, hparams=cfg)
+        logger = ExperimentLogger(
+            cfg.save_path, hparams=cfg,
+            comet_offline=getattr(cfg, "comet_logging", False),
+        )
         start_epoch, wait = 0, 0
         best_val_loss, best_val_dice = float("inf"), float("-inf")
 
@@ -562,6 +606,7 @@ class Trainer:
 
         if orbax is not None:
             orbax.close()  # drain pending async writes before returning
+        logger.close()  # writes the offline Comet archive when enabled
         if getattr(train_loader, "image_pad_spec", None) is not None:
             # The ingest spec is a train-step-only contract; a loader reused
             # for predict()/eval after fit() must yield logical cubes again

@@ -6,7 +6,10 @@ TensorBoard scalar events in {save_path}/LOGS/tb/events.out.tfevents.*
 (utils/tb_events.py, dependency-free writer), hyperparameters in
 {save_path}/LOGS/hparams.json, and a JSONL event stream in
 {save_path}/LOGS/events.jsonl (greppable; external services like Comet are
-intentionally not contacted).
+intentionally not contacted — with comet_offline=True the run instead leaves
+a LOCAL offline Comet experiment archive under {save_path}/LOGS/comet_offline/
+via utils/comet_offline.py, mirroring the reference's offline-directory
+workflow, PLTrainer.py:365-374).
 """
 
 from __future__ import annotations
@@ -22,12 +25,20 @@ from hyperpri_tpu.utils.tb_events import TBEventWriter
 
 
 class ExperimentLogger:
-    def __init__(self, save_path: str, hparams: Optional[Any] = None, tensorboard: bool = True):
+    def __init__(self, save_path: str, hparams: Optional[Any] = None, tensorboard: bool = True,
+                 comet_offline: bool = False):
         self.log_dir = os.path.join(save_path, "LOGS")
         os.makedirs(self.log_dir, exist_ok=True)
         self.csv_path = os.path.join(self.log_dir, "metrics.csv")
         self.jsonl_path = os.path.join(self.log_dir, "events.jsonl")
         self.tb = TBEventWriter(os.path.join(self.log_dir, "tb")) if tensorboard else None
+        # comet_logging flag (reference PLTrainer.py:365-374): produce the
+        # offline experiment archive locally — never contact any service.
+        self.comet = None
+        if comet_offline:
+            from hyperpri_tpu.utils.comet_offline import CometOfflineWriter
+
+            self.comet = CometOfflineWriter(os.path.join(self.log_dir, "comet_offline"))
         # On resume, adopt the existing CSV's header so appended rows align.
         self._fieldnames = self._read_existing_header()
         if hparams is not None:
@@ -43,6 +54,8 @@ class ExperimentLogger:
         safe = {k: v for k, v in data.items() if _jsonable(v)}
         with open(os.path.join(self.log_dir, "hparams.json"), "w") as f:
             json.dump(safe, f, indent=2, default=str)
+        if self.comet is not None:
+            self.comet.log_parameters(safe)
 
     def _read_existing_header(self):
         try:
@@ -101,6 +114,18 @@ class ExperimentLogger:
                 },
                 step,
             )
+        if self.comet is not None:
+            self.comet.log_metrics(
+                {k: v for k, v in row.items()
+                 if isinstance(v, (int, float)) and k not in ("step", "time")},
+                step=step,
+            )
+
+    def close(self) -> None:
+        """Flush terminal artifacts (the offline Comet archive). CSV/JSONL/TB
+        writes are per-call and need no flush."""
+        if self.comet is not None:
+            self.comet.close()
 
 
 def _to_float(v):

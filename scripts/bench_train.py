@@ -41,6 +41,17 @@ def main():
                    help="host pre-padded ingest for the first packed conv "
                         "(default: on whenever the route supports it — "
                         "production trainer behavior)")
+    p.add_argument("--offload", action="store_true",
+                   help="SpectralUNET host-offloaded remat: block residuals "
+                        "cross the fwd->bwd gap in pinned host memory, so the "
+                        "FULL paper protocol (batch 2, 608x700, bn_feats=1650 "
+                        "— the reference needed >=2 GPUs + ZeRO-2, "
+                        "README.md:67-68) trains on ONE chip")
+    p.add_argument("--chunks", type=int, default=0,
+                   help="chunked-pixel gradient accumulation "
+                        "(train/chunked.py): BN stats per chunk — at "
+                        "--chunks == batch this is the reference's own "
+                        "per-image BN semantics (models.py:132-141)")
     p.add_argument("--shard-map", action="store_true",
                    help="wrap the gated convs in the shard_map mesh route on a "
                         "trivial 1-device mesh (measures the multi-chip path's "
@@ -64,10 +75,12 @@ def main():
     if args.pallas_train is not None:
         cfg.pallas_train = args.pallas_train
     if args.model == "SpectralUNET":
-        # full-res SpectralUNET needs remat + (reference protocol) a W crop;
-        # single-chip also needs batch 1 (the reference needed 2 GPUs under
-        # ZeRO-2 for batch 2; multi-chip spatial sharding covers that here)
+        # full-res SpectralUNET needs remat + (reference protocol) a W crop.
+        # Without --offload, single-chip also needs batch 1 or a narrower
+        # crop; --offload runs the full batch-2 (608,700) paper protocol on
+        # one chip (residuals in pinned host memory).
         cfg.remat = True
+        cfg.offload = args.offload
         args.width = args.spectral_crop or 700
     h, w = args.height, args.width
 
@@ -99,7 +112,20 @@ def main():
     apply_fn = None
     if ingest_spec is not None:
         apply_fn = model.clone(ingest_hw=(h, w)).apply
-    train_step = make_train_step(cfg.threshold, apply_fn=apply_fn)
+    remat_policy = None
+    if getattr(model, "offload", False):
+        from hyperpri_tpu.train.trainer import spectral_offload_policy
+
+        remat_policy = spectral_offload_policy()
+    if args.chunks:
+        from hyperpri_tpu.train.chunked import make_chunked_train_step
+
+        train_step = make_chunked_train_step(
+            cfg.threshold, n_chunks=args.chunks, remat_policy=remat_policy,
+            apply_fn=apply_fn,
+        )
+    else:
+        train_step = make_train_step(cfg.threshold, apply_fn=apply_fn, remat_policy=remat_policy)
 
     K = args.steps
 
@@ -171,8 +197,13 @@ def main():
         float(loss)
         ts.append(time.perf_counter() - t0)
     per_step = (min(ts) - rtt) / K
+    variant = ""
+    if args.chunks:
+        variant += f", chunks={args.chunks}"
+    if args.offload:
+        variant += ", offload"
     result = {
-        "metric": f"{args.model} train step ({args.batch}x{h}x{w}x{channels}, {args.precision})",
+        "metric": f"{args.model} train step ({args.batch}x{h}x{w}x{channels}, {args.precision}{variant})",
         "value": round(per_step * 1e3, 2),
         "unit": "ms/step",
         "steps_per_sec": round(1 / per_step, 2),

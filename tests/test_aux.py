@@ -55,6 +55,40 @@ def test_experiment_logger(tmp_path):
         assert json.load(f)["lr"] == 0.001
 
 
+def test_comet_offline_archive(tmp_path):
+    """comet_logging flag: the run leaves a structurally valid offline Comet
+    experiment archive (reference workflow: offline dir + later `comet
+    upload`, PLTrainer.py:365-374). Pins the zip layout and message schema
+    of utils/comet_offline.py."""
+    import zipfile
+
+    logger = ExperimentLogger(
+        str(tmp_path), hparams={"lr": 0.001}, tensorboard=False, comet_offline=True
+    )
+    logger.log_metrics({"tr_loss": 1.5, "names": "x"}, step=0)
+    logger.log_metrics({"tr_loss": 1.2}, step=1)
+    logger.close()
+    comet_dir = os.path.join(tmp_path, "LOGS", "comet_offline")
+    zips = [f for f in os.listdir(comet_dir) if f.endswith(".zip")]
+    assert len(zips) == 1
+    with zipfile.ZipFile(os.path.join(comet_dir, zips[0])) as z:
+        names = set(z.namelist())
+        assert {"experiment.json", "messages.json"} <= names
+        meta = json.loads(z.read("experiment.json"))
+        assert meta["experiment_key"] == zips[0][:-4]
+        assert meta["stop_time"] >= meta["start_time"]
+        msgs = [json.loads(l) for l in z.read("messages.json").splitlines()]
+    params = [m for m in msgs if m["type"] == "parameter_msg"]
+    metrics = [m for m in msgs if m["type"] == "metric_msg"]
+    assert any(p["payload"]["param"]["paramName"] == "lr" for p in params)
+    tr = [m["payload"]["metric"] for m in metrics
+          if m["payload"]["metric"]["metricName"] == "tr_loss"]
+    assert [m["metricValue"] for m in tr] == [1.5, 1.2]
+    assert [m["step"] for m in tr] == [0, 1]
+    # non-numeric metric values are excluded from the archive
+    assert not any(m["payload"]["metric"]["metricName"] == "names" for m in metrics)
+
+
 def test_experiment_logger_schema_growth(tmp_path):
     """A metric key appearing mid-run rewrites the CSV header so every row
     stays aligned (VERDICT r2 weak #4: rows must never be wider than the

@@ -1,0 +1,204 @@
+"""Chunked-pixel gradient-accumulation training (train/chunked.py) and the
+SpectralUNET host-offload remat path (trainer.spectral_offload_policy).
+
+Together these are the single-chip answers to the reference's >=2-GPU ZeRO-2
+requirement for SpectralUNET at the full paper protocol
+(/root/reference/README.md:67-68, src/PLTrainer.py:421-433):
+
+  - offload: numerics IDENTICAL to the unchunked step (residual bytes move
+    to pinned host memory; recompute re-runs the same ops);
+  - chunked: BN statistics per chunk — at n_chunks == batch size this is the
+    REFERENCE's own per-image BN semantics (its Python rasterization loop,
+    /root/reference/src/Experiments/models.py:132-141), checked here against
+    live torch at batch 2.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperpri_tpu.config import ExpHyperspectralPRI
+from hyperpri_tpu.models.spectral_unet import SpectralUNET
+from hyperpri_tpu.train.chunked import make_chunked_train_step
+from hyperpri_tpu.train.trainer import (
+    create_train_state,
+    make_train_step,
+    spectral_offload_policy,
+)
+
+
+def _setup(batch=2, h=8, w=12, d=10, feats=16, seed=0, **model_kw):
+    cfg = ExpHyperspectralPRI(calling_path=".")
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(batch, h, w, d)).astype(np.float32)
+    mask = (rng.random((batch, h, w, 1)) > 0.5).astype(np.float32)
+    batch_d = {
+        "image": jnp.asarray(img),
+        "mask": jnp.asarray(mask),
+        "valid": jnp.ones((batch,), jnp.float32),
+    }
+    model = SpectralUNET(hsi_depth=d, bn_feats=feats, **model_kw)
+    state = create_train_state(cfg, model, img[:1], seed=0)
+    return state, batch_d
+
+
+def _run(state, batch, step):
+    s2, logs = jax.jit(step)(state, batch)
+    return (
+        jax.device_get(s2.params),
+        jax.device_get(s2.batch_stats),
+        float(logs["loss_sum"]),
+        jax.device_get(logs["stats"]),
+    )
+
+
+def _max_dev(a, b):
+    return max(jax.tree.leaves(jax.tree.map(lambda x, y: float(np.max(np.abs(x - y))), a, b)))
+
+
+def test_single_chunk_matches_unchunked_exactly():
+    """n_chunks=1 runs the same rows through the same matmuls/joint BN as
+    the unchunked step — values must agree to float round-off (the pixel
+    rasterization reshape may legally reassociate XLA reductions)."""
+    state, batch = _setup()
+    p_ref, bs_ref, loss_ref, st_ref = _run(state, batch, make_train_step(0.5))
+    p_chk, bs_chk, loss_chk, st_chk = _run(
+        state, batch, make_chunked_train_step(0.5, n_chunks=1)
+    )
+    assert loss_chk == pytest.approx(loss_ref, rel=1e-6)
+    assert _max_dev(p_chk, p_ref) < 2e-6
+    assert _max_dev(bs_chk, bs_ref) < 2e-6
+    assert tuple(np.asarray(x) for x in st_chk) == tuple(np.asarray(x) for x in st_ref)
+
+
+def test_per_image_chunks_match_per_image_oracle():
+    """n_chunks == N: each chunk is exactly one image's pixels, so the step
+    must equal a hand-rolled per-image grad-accumulation loop (the
+    reference's semantics, models.py:132-141): per-image BN batch stats,
+    sequential running-stat updates, summed grads over the global mean."""
+    state, batch = _setup(batch=2)
+    n, h, w, _ = batch["image"].shape
+
+    def oracle(state, batch):
+        from hyperpri_tpu.ops.losses import bce_with_logits
+
+        denom = float(n * h * w)
+
+        def one_image(params, bstats, img, msk):
+            def loss_fn(p):
+                logits, upd = state.apply_fn(
+                    {"params": p, "batch_stats": bstats},
+                    img[None], train=True, mutable=["batch_stats"],
+                )
+                per = bce_with_logits(logits, msk, reduction="none")
+                return jnp.sum(per) / denom, upd["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return loss, new_bs, grads
+
+        bstats = state.batch_stats
+        total = 0.0
+        grads_acc = jax.tree.map(jnp.zeros_like, state.params)
+        for i in range(n):
+            loss, bstats, g = one_image(
+                state.params, bstats, batch["image"][i], batch["mask"][i]
+            )
+            total += loss
+            grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+        return grads_acc, jax.device_get(bstats), float(total)
+
+    g_ref, bs_ref, loss_ref = oracle(state, batch)
+
+    # Compare GRADIENTS, not post-Adam params: Adam's g/sqrt(g^2)
+    # normalization amplifies any epsilon on a near-zero gradient into a full
+    # +-lr sign flip. SGD(lr=1) makes the applied update literally -grad, so
+    # the accumulated gradient is recoverable exactly from the param delta.
+    import optax
+
+    rec_state = state.replace(tx=optax.sgd(1.0), opt_state=optax.sgd(1.0).init(state.params))
+    s2, logs = jax.jit(make_chunked_train_step(0.5, n_chunks=2))(rec_state, batch)
+    # sgd(1.0): p' = p - g  =>  g = p_old - p_new
+    g_chk = jax.tree.map(
+        lambda new, old: np.asarray(old - new),
+        jax.device_get(s2.params), jax.device_get(state.params),
+    )
+    # oracle's `total` is already the whole-batch mean (per-image sums over
+    # the global denominator); logs' loss_sum is mean * n_valid
+    assert float(logs["loss_sum"]) / n == pytest.approx(loss_ref, rel=1e-5)
+    assert _max_dev(g_chk, jax.device_get(g_ref)) < 1e-6
+    assert _max_dev(jax.device_get(s2.batch_stats), bs_ref) < 2e-6
+
+
+def test_subimage_chunk_gradient_direction():
+    """Ghost-BN sub-image chunks: the accumulated gradient aligns with the
+    unchunked joint-stats gradient as chunk size grows — the BN-stat
+    perturbation is O(1/chunk_pixels). Measured on this fixture: cos 0.888 @
+    64 px/chunk -> 0.956 @ 256 -> 0.988 @ 2048 -> 0.994 @ 4096 (production
+    chunks are >=100K pixels). The test pins the monotone trend and a floor;
+    a sign/scale bug in the accumulation would send cosine to ~0 or
+    negative, far outside these bands."""
+    state, batch = _setup(batch=2, h=64, w=64, feats=32)
+    import optax
+
+    state = state.replace(tx=optax.sgd(1.0), opt_state=optax.sgd(1.0).init(state.params))
+
+    def grads_of(step):
+        # sgd(1.0): the param delta IS the (negated) accumulated gradient
+        s2, _ = jax.jit(step)(state, batch)
+        return jax.tree.map(lambda new, old: np.asarray(old - new),
+                            jax.device_get(s2.params), jax.device_get(state.params))
+
+    def flat(g):
+        return np.concatenate([x.ravel() for x in jax.tree.leaves(g)])
+
+    g_ref = flat(grads_of(make_train_step(0.5)))
+
+    def cos_at(n_chunks):
+        g = flat(grads_of(make_chunked_train_step(0.5, n_chunks=n_chunks)))
+        return float(g_ref @ g / (np.linalg.norm(g_ref) * np.linalg.norm(g)))
+
+    c4, c2 = cos_at(4), cos_at(2)
+    assert c4 > 0.98, c4      # 2048 px/chunk
+    assert c2 > c4, (c2, c4)  # larger chunks converge toward the joint grad
+    assert c2 > 0.99, c2      # 4096 px/chunk
+
+
+def test_chunked_per_image_vs_live_torch_batch2():
+    """The strongest semantics check: flax chunked (n_chunks=2, batch 2) vs
+    the live-torch reference mirror, whose Python loop takes BN stats per
+    image. First-step training loss must agree to fp round-off — this is
+    parity the JOINT-stats unchunked trainer cannot reach at batch>1."""
+    pytest.importorskip("torch")
+    from hyperpri_tpu.train.parity import run_trajectory_parity
+
+    out = run_trajectory_parity(
+        "SpectralUNET", n_steps=4, batch=2, hw=(8, 10), hsi_depth=6, bn_feats=8,
+        chunked=2,
+    )
+    assert abs(out["loss_first_flax"] - out["loss_first_torch"]) <= 2e-6 * abs(
+        out["loss_first_torch"]
+    ), out
+    assert out["loss_rel_dev_max"] < 1e-3, out
+    assert out["bn_running_dev_max"] < 5e-3, out
+
+
+def test_offload_policy_matches_plain():
+    """SpectralUNET offload=True + the trainer's offload remat policy must be
+    numerically identical to the plain step (offload moves residual bytes to
+    pinned host; recompute re-runs the same ops)."""
+    state_p, batch = _setup(remat=True)
+    state_o, _ = _setup(offload=True)
+    try:
+        p_off, bs_off, loss_off, _ = _run(
+            state_o, batch,
+            make_train_step(0.5, remat_policy=spectral_offload_policy()),
+        )
+    except Exception as e:  # pragma: no cover - backend capability gate
+        if jax.default_backend() != "tpu":
+            pytest.skip(f"host-offload unsupported on {jax.default_backend()}: {e}")
+        raise
+    p_ref, bs_ref, loss_ref, _ = _run(state_p, batch, make_train_step(0.5))
+    assert loss_off == pytest.approx(loss_ref, rel=1e-6)
+    assert _max_dev(p_off, p_ref) < 2e-6
+    assert _max_dev(bs_off, bs_ref) < 2e-6
