@@ -41,6 +41,18 @@ from hyperpri_tpu.ops.pallas.conv3x3_packed import (
 # 128 on v5e and numerically validated on hardware.
 _PACKED_LS = 64
 
+# Max boundary channels routed to the packed epilogue-backward kernel in
+# _bnact_bwd. The r5 cap-lift experiment (64 -> 128, full-lane tap stride)
+# was BUILT, hardware-validated (dx within 1 bf16 ulp, dpa/dpb ~1e-6 rel vs
+# the XLA oracle at the 304x484/152x242 boundary shapes) and measured a
+# NON-WIN: same-session A/B 88.17 -> 90.39 ms CubeNET / 88.0 -> 89.35 UNET —
+# at ls=128 the packed kernel's own g_eff pad plus doubled P-scratch passes
+# cost more than the halo route's input lane pad. Default stays 64; the
+# env knob keeps the route measurable on future hardware.
+import os as _os  # noqa: E402
+
+_BNACT_PACKED_MAX_BC = int(_os.environ.get("HYPERPRI_BNACT_PACKED_MAX_BC", "64"))
+
 
 def _conv_route(x, w, b, pa=None, pb=None, *, relu, with_stats=False,
                 interpret=False, logical_hw=None, arena_in=False,
@@ -87,26 +99,41 @@ def _wgrad(x, g, o, interpret, pa=None, pb=None, arena_in=False,
                          logical_hw=logical_hw, interpret=interpret)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def conv3x3_bias_train(x, w, b, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_bias_train(x, w, b, interpret=False, pre_padded_hw=None):
     """y = conv3x3_same(x, w) + b, differentiable, Pallas on TPU.
 
     x: (N, H, W, C); w: (3, 3, C, O); b: (O,) float32.
+
+    pre_padded_hw: logical (h, w) when x arrives HOST-pre-padded (the ingest
+    conv under data-parallel meshes, parallel/spatial_conv.py — the per-shard
+    geometry equals the single-chip one since each data shard holds full
+    (H, W)); fwd and wgrad read the buffer raw, dx is zeros in x's padded
+    aval (the ingest buffer is leaf data; XLA DCEs the zeros).
     """
-    return _conv_route(x, w, b, relu=False, interpret=interpret)
+    return _conv_route(x, w, b, relu=False, interpret=interpret,
+                       logical_hw=pre_padded_hw,
+                       pre_padded=pre_padded_hw is not None)
 
 
-def _fwd(x, w, b, interpret):
-    y = _conv_route(x, w, b, relu=False, interpret=interpret)
+def _fwd(x, w, b, interpret, pre_padded_hw=None):
+    y = _conv_route(x, w, b, relu=False, interpret=interpret,
+                    logical_hw=pre_padded_hw,
+                    pre_padded=pre_padded_hw is not None)
     return y, (x, w)
 
 
-def _bwd(interpret, res, g):
+def _bwd(interpret, pre_padded_hw, res, g):
     x, w = res
     g = g.astype(x.dtype)
     # adjoint kernel: spatial flip + (C, O) transpose
     wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
+    if pre_padded_hw is not None:
+        dw = conv3x3_wgrad(x, g, pre_padded_c=w.shape[2],
+                           interpret=interpret).astype(w.dtype)
+        db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+        return jnp.zeros_like(x), dw, db
     dx = _conv_route(g, wt, zero_bias, relu=False, interpret=interpret)
     dw = _wgrad(x, g, w.shape[-1], interpret).astype(w.dtype)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
@@ -269,10 +296,15 @@ def _bnact_bwd(interpret, arena_hw, res, cotangents):
     zero_bias = jnp.zeros((w.shape[2],), jnp.float32)
     bc = w.shape[2]  # boundary channels (= adjoint conv's output channels)
     o = w.shape[-1]
+    # Boundary channels up to 128 stay on the packed epilogue-backward kernel
+    # (full-lane tap stride above _PACKED_LS, mirroring _stats_bwd): the halo
+    # fallback at bc in (64, 128] pays a separate full-resolution lane pad on
+    # the adjoint's input plus an unfused mask/scale pass.
+    ls = _PACKED_LS if bc <= _PACKED_LS else 128
     # Arena lanes carry o channels directly (no 128-lane pad) — requires an
     # 8-divisible channel count for the (8,128) tiling.
     ext = (
-        arena_g_extent(*arena_hw, o, bc, x.dtype, x.dtype, lane_stride=_PACKED_LS)
+        arena_g_extent(*arena_hw, o, bc, x.dtype, x.dtype, lane_stride=ls)
         if arena and o % 8 == 0
         else None
     )
@@ -300,16 +332,19 @@ def _bnact_bwd(interpret, arena_hw, res, cotangents):
         ).astype(w.dtype)
         db = jnp.sum(g_arena.astype(jnp.float32), axis=(0, 1, 2))[:o]
         return dx, dpa, dpb, dw, db
-    if bc <= _PACKED_LS:
+    if bc <= _BNACT_PACKED_MAX_BC:
         # Fused backward epilogue (conv3x3_packed bwd_x): the relu-mask
         # recompute, dx = mdz*pa scale, and the dpa/dpb reductions all run
         # while dz is still in the kernel's f32 accumulator — the separate
         # full-res elementwise pass + reduction re-read (measured 1.3 + 0.8
         # ms per 608x968x64 boundary, hlo_stats) never touch HBM. With an
         # arena residual, dx is emitted arena-framed (aval-matching x).
+        # bc in (64, 128] (r5 cap lift): same kernel at the full 128-lane tap
+        # stride — the halo fallback's separate full-res input lane pad and
+        # unfused mask/scale/reduction passes never run.
         dx, (dpa, dpb) = conv3x3_packed(
             g_eff, wt, zero_bias, pa, pb, x, relu=False, out_dtype=x.dtype,
-            lane_stride=_PACKED_LS, interpret=interpret,
+            lane_stride=ls, interpret=interpret,
             arena_in=arena, arena_out=arena,
         )
         if arena:

@@ -63,6 +63,7 @@ def conv3x3_spatial(
     data_axis: str = DATA_AXIS,
     spatial_axis: str = SPATIAL_AXIS,
     train: bool = True,
+    pre_padded_hw: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """3x3 SAME conv + bias over (N, H, W, C) with N sharded on `data_axis`
     and H sharded on `spatial_axis`. Differentiable (Pallas custom-VJP path
@@ -76,18 +77,36 @@ def conv3x3_spatial(
     `train=False` keeps the local conv on XLA even on TPU: the Pallas
     kernels win only against the training graph's spatial-blocking
     pathology; XLA's batch-1 pure-forward conv fusion is faster for
-    inference (measured, BENCHMARKS.md "serving Pallas dead end")."""
+    inference (measured, BENCHMARKS.md "serving Pallas dead end").
+
+    pre_padded_hw: logical (h, w) when x arrives HOST-pre-padded for the
+    first packed conv (data/pipeline.pre_pad_images geometry) — the
+    single-chip ingest win kept under data-parallel meshes: each data shard
+    holds the full (H_pad, W_pad) plane, so the per-shard kernel geometry is
+    exactly the single-chip one and the buffer is read raw. Requires
+    spatial=1 (an H-sharded padded buffer would break the framing); backends
+    without the Pallas route slice the logical window back out and run the
+    plain conv (identical numerics, one slice)."""
     n_spatial = mesh.shape[spatial_axis]
+    if pre_padded_hw is not None and n_spatial != 1:
+        raise ValueError("pre-padded ingest requires a data-parallel-only "
+                         f"mesh (spatial=1), got spatial={n_spatial}")
 
     fwd = functools.partial(jax.lax.conv_general_dilated,
                             window_strides=(1, 1), padding="SAME",
                             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    def local_conv(xe, w, b):
+    def local_conv(xe, w, b, pp_hw=None):
         if train and jax.default_backend() == "tpu":
             from hyperpri_tpu.ops.pallas.conv_train import conv3x3_bias_train
 
-            return conv3x3_bias_train(xe, w, b.astype(jnp.float32))
+            return conv3x3_bias_train(xe, w, b.astype(jnp.float32), False, pp_hw)
+        if pp_hw is not None:
+            # No Pallas route (e.g. the virtual CPU test mesh): recover the
+            # logical window from the padded buffer (crop at (1,1), true
+            # channel count from the kernel) and run the plain conv.
+            h, width = pp_hw
+            xe = xe[:, 1 : 1 + h, 1 : 1 + width, : w.shape[2]]
         return fwd(xe, w) + b.astype(xe.dtype)
 
     @functools.partial(
@@ -99,7 +118,7 @@ def conv3x3_spatial(
     )
     def f(xs, w, b):
         if n_spatial == 1:
-            return local_conv(xs, w, b)
+            return local_conv(xs, w, b, pre_padded_hw)
         idx = jax.lax.axis_index(spatial_axis)
         up = [(i, (i + 1) % n_spatial) for i in range(n_spatial)]
         down = [(i, (i - 1) % n_spatial) for i in range(n_spatial)]

@@ -376,8 +376,13 @@ class Trainer:
         # model passed to Trainer(cfg, model=...) with pallas_train=False or
         # fused_bn=True would otherwise get ingest wired anyway and die at
         # trace time inside the kernel instead of cleanly skipping ingest.
+        # Meshes: DATA-PARALLEL-only meshes keep ingest (each shard holds the
+        # full padded plane; the shard_map route reads it raw —
+        # parallel/spatial_conv.py pre_padded_hw). Spatially-sharded meshes
+        # skip it: an H-sharded padded buffer would break the kernel framing.
+        mesh_ok = self.mesh is None or self.mesh.shape.get("spatial", 1) == 1
         if (
-            self.mesh is not None
+            not mesh_ok
             or not cfg.pallas_train
             or not getattr(self.model, "pallas_train", False)
             or getattr(self.model, "fused_bn", False)
@@ -389,6 +394,9 @@ class Trainer:
 
         img = np.asarray(sample["image"])
         h, w, c = img.shape[1], img.shape[2], img.shape[3]
+        # Per-shard geometry under a data-parallel mesh equals the
+        # single-chip one (full H, W per shard), so the spec is probed
+        # mesh-free either way.
         spec = first_conv_ingest_spec(
             h, w, c, self.model.first_depth,
             getattr(self.model, "dtype", cfg.compute_dtype),

@@ -84,6 +84,11 @@ def _bwd_ref(g, wt, pa, pb, r):
         # o < lane_stride: residual lane over-read garbage (lanes o..63)
         # must be masked out of dpa/dpb (0 * NaN would poison the sums).
         (1, 13, 20, 24, 48, 16),
+        # o in (64, 128]: the r5 cap lift (conv_train._bnact_bwd routes
+        # 64 < bc <= 128 boundaries here at the full 128-lane tap stride,
+        # e.g. the 304x484 down1/up decoder DoubleConv boundaries).
+        (1, 16, 24, 32, 128, 16),
+        (1, 13, 20, 64, 96, 16),
     ],
 )
 def test_packed_bwd_epilogue(rng, n, h, w, c, o, tw):
@@ -98,7 +103,8 @@ def test_packed_bwd_epilogue(rng, n, h, w, c, o, tw):
     zero_b = jnp.zeros((o,), jnp.float32)
 
     dx, (dpa, dpb) = conv3x3_packed(
-        g, wt, zero_b, pa, pb, r, relu=False, tw=tw, lane_stride=64,
+        g, wt, zero_b, pa, pb, r, relu=False, tw=tw,
+        lane_stride=64 if o <= 64 else 128,  # conv_train._bnact_bwd routing
         interpret=True,
     )
     dx2, dpa2, dpb2 = _bwd_ref(g, wt, pa, pb, r)
