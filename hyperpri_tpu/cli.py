@@ -67,6 +67,15 @@ def _add_model_overrides(p):
     p.add_argument("--decoded-cache", default=None, metavar="DIR",
                    help="on-disk decoded-cube cache dir: cold epochs read the "
                         "decoded band window instead of re-paying the ENVI gather")
+    p.add_argument("--chunks", type=int, default=None, metavar="N",
+                   help="chunked-pixel gradient accumulation (train/chunked.py): "
+                        "the single-chip path for SpectralUNET's full paper "
+                        "protocol; BN stats per chunk — at N == batch size this "
+                        "is the reference's own per-image BN semantics")
+    p.add_argument("--offload", action="store_true",
+                   help="SpectralUNET host-offloaded remat: residuals cross the "
+                        "fwd->bwd gap in pinned host memory (numerics identical "
+                        "to the plain step)")
 
 
 def _apply_model_overrides(cfg, args):
@@ -74,7 +83,9 @@ def _apply_model_overrides(cfg, args):
                       ("cube_featmaps", args.cube_featmaps),
                       ("spectral_bn_size", args.spectral_bn_size),
                       ("epochs", args.epochs),
-                      ("decoded_cache_dir", args.decoded_cache)]:
+                      ("decoded_cache_dir", args.decoded_cache),
+                      ("grad_accum_chunks", getattr(args, "chunks", None)),
+                      ("offload", getattr(args, "offload", None) or None)]:
         if val is not None:
             setattr(cfg, attr, val)
     if args.hsi_lo is not None or args.hsi_hi is not None:
