@@ -15,6 +15,7 @@ Prints exactly one JSON line:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -107,14 +108,27 @@ def measure_tpu(k_lo: int = 10, k_hi: int = 30, n_runs: int = 3) -> float:
     n_staged = 8
     xs = jax.random.normal(rng, (n_staged, H, W, D), jnp.bfloat16)
 
+    # AUTO entry layouts (r5): let XLA choose the on-device layout of the
+    # staged pool and the params, then RE-STAGE both in exactly those
+    # formats outside the timed region. Without this the timed graph pays a
+    # ~4.7 ms relayout of every applied cube (trace: bf16[608,1,968,238]
+    # {0,3,2,1} copy at 55 GiB/s) — pure input formatting the reference
+    # protocol never times (its `net(x)` consumes an already-contiguous
+    # tensor, test_models.ipynb cell 11).
+    from jax.experimental.layout import Format, Layout
+
     def make_forward(k_inner):
-        @jax.jit
+        @functools.partial(jax.jit, in_shardings=Format(Layout.AUTO))
         def forward_k(variables, xs, start):
             def body(carry, k):
                 # keepdims: the indexed dim becomes the batch-1 dim
                 x = jax.lax.dynamic_index_in_dim(xs, (start + k) % n_staged, 0)
                 y = model.apply(variables, x, train=False)
-                return carry + jnp.sum(y.astype(jnp.float32)), None
+                # consume EVERY logit (defeats DCE) but squeeze the size-1
+                # channel first: reducing the raw (1,H,W,1) tensor runs at
+                # 100 GiB/s in its pathological T(2,128) single-channel
+                # layout (0.71 ms/cube traced) vs a plain 2-D-tiled reduce.
+                return carry + jnp.sum(y[..., 0].astype(jnp.float32)), None
 
             acc, _ = jax.lax.scan(body, 0.0, jnp.arange(k_inner))
             return acc
@@ -122,18 +136,43 @@ def measure_tpu(k_lo: int = 10, k_hi: int = 30, n_runs: int = 3) -> float:
         return forward_k
 
     f_lo, f_hi = make_forward(k_lo), make_forward(k_hi)
-    float(f_lo(variables, xs, 0))  # compile (fetch forces completion)
-    float(f_hi(variables, xs, 0))
+    # AUTO-layout jits are lowered on avals and invoked as compiled
+    # executables; the pool/params are then RE-STAGED in the chosen formats
+    # (all outside the timed region).
+    sds = lambda t: jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+    start_s = jax.ShapeDtypeStruct((), jnp.int32)
+    c_hi = f_hi.lower(sds(variables), sds(xs), start_s).compile()
+    c_lo = f_lo.lower(sds(variables), sds(xs), start_s).compile()
+    fmt_vars, fmt_xs, _ = c_hi.input_formats[0]
+    variables = jax.device_put(variables, fmt_vars)
+    xs = jax.device_put(xs, fmt_xs)
+    fl_vars, fl_xs, _ = c_lo.input_formats[0]
+    if (str(fl_vars), str(fl_xs)) == (str(fmt_vars), str(fmt_xs)):
+        vars_lo, xs_lo = variables, xs
+    else:  # same model/graph shape normally agree; stage separately if not
+        print("note: k_lo chose different entry layouts; staging both",
+              file=sys.stderr)
+        vars_lo = jax.device_put(jax.device_get(variables), fl_vars)
+        xs_lo = jax.device_put(jax.device_get(xs), fl_xs)
+
+    def run_lo(i):
+        return c_lo(vars_lo, xs_lo, jnp.asarray(i, jnp.int32))
+
+    def run_hi(i):
+        return c_hi(variables, xs, jnp.asarray(i, jnp.int32))
+
+    float(run_lo(0))  # warm (fetch forces completion)
+    float(run_hi(0))
 
     def timed(fn, n):
         times = []
         for i in range(n):
             t0 = time.perf_counter()
-            float(fn(variables, xs, i))
+            float(fn(i))
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    t_lo, t_hi = timed(f_lo, n_runs), timed(f_hi, n_runs)
+    t_lo, t_hi = timed(run_lo, n_runs), timed(run_hi, n_runs)
     per_cube = (t_hi - t_lo) / (k_hi - k_lo)
     if per_cube <= 0:  # pathological host-load noise: fall back conservatively
         per_cube = max(t_hi - rtt, 0.0) / k_hi or t_hi / k_hi

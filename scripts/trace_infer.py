@@ -95,20 +95,36 @@ def main():
                         fused_bn=True, use_pallas=(mode == "fold"), dtype=jnp.bfloat16)
         variables = {"params": folded}
 
-    @jax.jit
-    def run(variables, key):
+    # bench.py's r5 protocol: pre-staged cube pool in AUTO entry layouts
+    # (the old in-graph jax.random.normal synthesis showed up as a 4.7 ms
+    # [608,1,968,238] RNG+relayout fusion — 29% of the trace was harness).
+    import functools
+
+    from jax.experimental.layout import Format, Layout
+
+    n_staged = 8
+    xs = jax.random.normal(rng, (n_staged, H, W, D), jnp.bfloat16)
+
+    @functools.partial(jax.jit, in_shardings=Format(Layout.AUTO))
+    def run(variables, xs, start):
         def body(carry, k):
-            x = jax.random.normal(k, (1, H, W, D), jnp.bfloat16)
+            x = jax.lax.dynamic_index_in_dim(xs, (start + k) % n_staged, 0)
             y = model.apply(variables, x, train=False)
             return carry + jnp.sum(y.astype(jnp.float32)), None
 
-        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(key, args.steps))
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(args.steps))
         return acc
 
-    float(run(variables, rng))  # compile
+    sds = lambda t: jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+    compiled = run.lower(sds(variables), sds(xs),
+                         jax.ShapeDtypeStruct((), jnp.int32)).compile()
+    fmt_vars, fmt_xs, _ = compiled.input_formats[0]
+    variables = jax.device_put(variables, fmt_vars)
+    xs = jax.device_put(xs, fmt_xs)
+    float(compiled(variables, xs, jnp.asarray(0, jnp.int32)))  # warm
     tdir = tempfile.mkdtemp(prefix="jaxtrace_")
     jax.profiler.start_trace(tdir)
-    float(run(variables, jax.random.key(1)))
+    float(compiled(variables, xs, jnp.asarray(1, jnp.int32)))
     jax.profiler.stop_trace()
     xspaces = glob.glob(os.path.join(tdir, "**", "*.xplane.pb"), recursive=True)
     print_hlo_table(xspaces, args.steps, args.top, args.out)
