@@ -72,7 +72,8 @@ def measure_tpu(k_lo: int = 10, k_hi: int = 30, n_runs: int = 3) -> float:
 
     # Serving graph selection (HYPERPRI_BENCH_MODE):
     #   xla   (default): the plain pure-XLA eval graph — fastest measured
-    #          (60.0 cubes/s; XLA's pure-forward conv+BN+ReLU fusion).
+    #          (79.5 cubes/s under the r5 AUTO-layout staging; XLA's
+    #          pure-forward conv+BN+ReLU fusion).
     #   fold_xla: BatchNorm folded into conv weights (ops/fold_bn.py) — a
     #          numerically identical serving graph; measures 58.9 (folding
     #          alone buys nothing: XLA already fuses eval BN).
