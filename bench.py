@@ -139,22 +139,23 @@ def measure_tpu(k_lo: int = 10, k_hi: int = 30, n_runs: int = 3) -> float:
     f_lo, f_hi = make_forward(k_lo), make_forward(k_hi)
     # AUTO-layout jits are lowered on avals and invoked as compiled
     # executables; the pool/params are then RE-STAGED in the chosen formats
-    # (all outside the timed region).
-    sds = lambda t: jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
-    start_s = jax.ShapeDtypeStruct((), jnp.int32)
-    c_hi = f_hi.lower(sds(variables), sds(xs), start_s).compile()
-    c_lo = f_lo.lower(sds(variables), sds(xs), start_s).compile()
-    fmt_vars, fmt_xs, _ = c_hi.input_formats[0]
-    variables = jax.device_put(variables, fmt_vars)
-    xs = jax.device_put(xs, fmt_xs)
-    fl_vars, fl_xs, _ = c_lo.input_formats[0]
-    if (str(fl_vars), str(fl_xs)) == (str(fmt_vars), str(fmt_xs)):
+    # (all outside the timed region). Shared helper: utils/staging.py —
+    # scripts/trace_infer.py uses the same protocol so the trace and the
+    # headline measure the same graph.
+    from hyperpri_tpu.utils.staging import compile_with_auto_formats, stage_in_formats
+
+    start0 = jnp.zeros((), jnp.int32)
+    c_hi, fmt_hi = compile_with_auto_formats(f_hi, variables, xs, start0)
+    c_lo, fmt_lo = compile_with_auto_formats(f_lo, variables, xs, start0)
+    variables, xs, _ = stage_in_formats((variables, xs, start0), fmt_hi)
+    if str(fmt_lo[:2]) == str(fmt_hi[:2]):
         vars_lo, xs_lo = variables, xs
     else:  # same model/graph shape normally agree; stage separately if not
         print("note: k_lo chose different entry layouts; staging both",
               file=sys.stderr)
-        vars_lo = jax.device_put(jax.device_get(variables), fl_vars)
-        xs_lo = jax.device_put(jax.device_get(xs), fl_xs)
+        vars_lo, xs_lo, _ = stage_in_formats(
+            (jax.device_get(variables), jax.device_get(xs), start0), fmt_lo
+        )
 
     def run_lo(i):
         return c_lo(vars_lo, xs_lo, jnp.asarray(i, jnp.int32))

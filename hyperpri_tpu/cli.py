@@ -59,6 +59,10 @@ def rename_folder(save_path: str) -> Optional[str]:
 
 
 def _add_model_overrides(p):
+    p.add_argument("--model", default=None,
+                   choices=["UNET", "UNET+", "SpectralUNET", "CubeNET"],
+                   help="override the config's default model "
+                        "(reference: MODEL_NAME in params_HyperPRI.py)")
     p.add_argument("--hsi-lo", type=int, default=None)
     p.add_argument("--hsi-hi", type=int, default=None)
     p.add_argument("--cube-featmaps", type=int, default=None)
@@ -79,6 +83,17 @@ def _add_model_overrides(p):
 
 
 def _apply_model_overrides(cfg, args):
+    if getattr(args, "model", None):
+        cfg.model_name = args.model
+    # --chunks / --offload are SpectralUNET training modes (train/chunked.py,
+    # spectral_offload_policy); a silent no-op on other models would record
+    # misleading hparams, so fail early instead.
+    for flag in ("chunks", "offload"):
+        if getattr(args, flag, None) and cfg.model_name.lower() != "spectralunet":
+            raise SystemExit(
+                f"--{flag} is a SpectralUNET training mode (per-pixel model); "
+                f"current model is {cfg.model_name}"
+            )
     for attr, val in [("hsi_lo", args.hsi_lo), ("hsi_hi", args.hsi_hi),
                       ("cube_featmaps", args.cube_featmaps),
                       ("spectral_bn_size", args.spectral_bn_size),

@@ -338,7 +338,7 @@ class Conv3x3(nn.Module):
         # each shard holds the full (H_pad, W_pad) plane, so the per-shard
         # kernel geometry equals the single-chip one and the shard_map route
         # (conv3x3_spatial) reads the pre-padded buffer raw.
-        from hyperpri_tpu.parallel.mesh import SPATIAL_AXIS
+        from hyperpri_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
 
         mesh_ingest = (
             pre_padded is not None
@@ -346,6 +346,11 @@ class Conv3x3(nn.Module):
             and self.spatial_mesh.shape.get(SPATIAL_AXIS, 1) == 1
             and shape_ok and self.pallas_train and train
             and self.features <= PACKED_MAX_O
+            # same shard-divisibility conditions as the mesh route below —
+            # without them a non-divisible batch would slip past the miswire
+            # guard and feed the padded buffer to the plain XLA conv
+            and x.shape[0] % self.spatial_mesh.shape.get(DATA_AXIS, 1) == 0
+            and x.shape[1] % self.spatial_mesh.shape.get(SPATIAL_AXIS, 1) == 0
         )
         if pre_padded is not None and not mesh_ingest and not (
             use_pallas and collect_stats and self.features <= PACKED_MAX_O

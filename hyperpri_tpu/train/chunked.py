@@ -78,9 +78,7 @@ def make_chunked_train_step(threshold: float, n_chunks: int, remat_policy=None,
         padded = chunk * n_chunks
 
         pixels = image.reshape(total, c)
-        targets = jnp.broadcast_to(
-            _squeeze_last(mask)[0].reshape(total), (total,)
-        ).astype(jnp.float32)
+        targets = _squeeze_last(mask)[0].reshape(total).astype(jnp.float32)
         pix_valid = jnp.broadcast_to(
             (valid.reshape(n, 1) > 0), (n, h * w)
         ).reshape(total)

@@ -380,7 +380,9 @@ class Trainer:
         # full padded plane; the shard_map route reads it raw —
         # parallel/spatial_conv.py pre_padded_hw). Spatially-sharded meshes
         # skip it: an H-sharded padded buffer would break the kernel framing.
-        mesh_ok = self.mesh is None or self.mesh.shape.get("spatial", 1) == 1
+        from hyperpri_tpu.parallel.mesh import SPATIAL_AXIS
+
+        mesh_ok = self.mesh is None or self.mesh.shape.get(SPATIAL_AXIS, 1) == 1
         if (
             not mesh_ok
             or not cfg.pallas_train
@@ -429,6 +431,17 @@ class Trainer:
                 raise ValueError(
                     "grad_accum_chunks is a single-chip memory-control path; "
                     "under a mesh use spatial sharding (--model-shard) instead"
+                )
+            from hyperpri_tpu.models.spectral_unet import SpectralUNET
+
+            if not isinstance(self.model, SpectralUNET):
+                # The chunked step rasterizes (N,H,W,C) into (1,chunk,1,C)
+                # pixel rows — only valid for per-pixel models; a spatial
+                # conv/pool model would crash deep in tracing (or worse,
+                # train on spatially-destroyed data).
+                raise ValueError(
+                    "grad_accum_chunks requires a per-pixel model "
+                    f"(SpectralUNET); got {type(self.model).__name__}"
                 )
             from hyperpri_tpu.train.chunked import make_chunked_train_step
 
@@ -492,142 +505,147 @@ class Trainer:
             cfg.save_path, hparams=cfg,
             comet_offline=getattr(cfg, "comet_logging", False),
         )
-        start_epoch, wait = 0, 0
-        best_val_loss, best_val_dice = float("inf"), float("-inf")
+        # The epilogue (orbax drain, Comet archive, loader pad-spec reset)
+        # must run even when the run raises or is interrupted: an offline
+        # archive that only exists on clean exit defeats its purpose, and a
+        # loader left with image_pad_spec set poisons later predict()/eval.
+        try:
+            start_epoch, wait = 0, 0
+            best_val_loss, best_val_dice = float("inf"), float("-inf")
 
-        if resume_from:
-            target = {
-                "state": _state_ckpt_view(state),
-                "epoch": 0,
-                "wait": 0,
-                "best_val_loss": 0.0,
-                "best_val_dice": 0.0,
-            }
-            if resume_from.startswith("orbax:"):
-                if orbax is None:
-                    raise ValueError(
-                        f"orbax resume pointer {resume_from} but orbax is not "
-                        "active (no mesh or orbax_under_mesh=False)"
+            if resume_from:
+                target = {
+                    "state": _state_ckpt_view(state),
+                    "epoch": 0,
+                    "wait": 0,
+                    "best_val_loss": 0.0,
+                    "best_val_dice": 0.0,
+                }
+                if resume_from.startswith("orbax:"):
+                    if orbax is None:
+                        raise ValueError(
+                            f"orbax resume pointer {resume_from} but orbax is not "
+                            "active (no mesh or orbax_under_mesh=False)"
+                        )
+                    step = int(resume_from.rsplit(":", 1)[1])
+                    payload = orbax.restore(step, target=target)
+                    state = _restore_state(state, payload["state"])
+                    # sharded leaves were restored directly into their shardings
+                else:
+                    payload = load_pytree(resume_from, target=target)
+                    state = _restore_state(state, payload["state"])
+                    state = self._place_state(state)
+                start_epoch = int(payload["epoch"]) + 1
+                wait = int(payload["wait"])
+                best_val_loss = float(payload["best_val_loss"])
+                best_val_dice = float(payload["best_val_dice"])
+                ckpt.best_val_loss, ckpt.best_val_dice = best_val_loss, best_val_dice
+                if progress:
+                    print(f"Resumed from {resume_from} at epoch {start_epoch}")
+
+            epochs = max_epochs if max_epochs is not None else cfg.epochs
+            stopped = False
+            epoch = start_epoch - 1
+            profiling = False
+            for epoch in range(start_epoch, epochs):
+                t0 = time.time()
+                if cfg.profile_dir and epoch == start_epoch + 1 and not profiling:
+                    # Trace one post-compile epoch (SURVEY.md §5.1: the TPU
+                    # replacement for nvtx/cudnn.benchmark-style tracing).
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                train_loader.set_epoch(epoch)
+                train_hist = []
+                for batch in train_loader:
+                    state, logs = self._train_step(state, _array_batch(batch))
+                    train_hist.append(logs)
+                tr = _epoch_reduce(train_hist)
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+
+                val_hist = [self._eval_step(state, _array_batch(b)) for b in val_loader]
+                vl = _epoch_reduce(val_hist)
+
+                metrics = {
+                    "epoch": epoch,
+                    "tr_loss": tr["loss"],
+                    "tr_acc": tr["acc"],
+                    "tr_dice": tr["dice"],
+                    "tr_pos_iou": tr["pos_iou"],
+                    "val_loss": vl["loss"],
+                    "val_acc": vl["acc"],
+                    "val_dice": vl["dice"],
+                    "val_pos_iou": vl["pos_iou"],
+                    "lr": cfg.learn_rate,
+                    "epoch_time": time.time() - t0,
+                }
+                logger.log_metrics(metrics, step=epoch)
+                if progress:
+                    print(
+                        f"epoch {epoch:4d}  tr_loss {tr['loss']:.4f}  val_loss {vl['loss']:.4f}  "
+                        f"val_dice {vl['dice']:.4f}  ({metrics['epoch_time']:.1f}s)"
                     )
-                step = int(resume_from.rsplit(":", 1)[1])
-                payload = orbax.restore(step, target=target)
-                state = _restore_state(state, payload["state"])
-                # sharded leaves were restored directly into their shardings
-            else:
-                payload = load_pytree(resume_from, target=target)
-                state = _restore_state(state, payload["state"])
-                state = self._place_state(state)
-            start_epoch = int(payload["epoch"]) + 1
-            wait = int(payload["wait"])
-            best_val_loss = float(payload["best_val_loss"])
-            best_val_dice = float(payload["best_val_dice"])
-            ckpt.best_val_loss, ckpt.best_val_dice = best_val_loss, best_val_dice
-            if progress:
-                print(f"Resumed from {resume_from} at epoch {start_epoch}")
 
-        epochs = max_epochs if max_epochs is not None else cfg.epochs
-        stopped = False
-        epoch = start_epoch - 1
-        profiling = False
-        for epoch in range(start_epoch, epochs):
-            t0 = time.time()
-            if cfg.profile_dir and epoch == start_epoch + 1 and not profiling:
-                # Trace one post-compile epoch (SURVEY.md §5.1: the TPU
-                # replacement for nvtx/cudnn.benchmark-style tracing).
-                jax.profiler.start_trace(cfg.profile_dir)
-                profiling = True
-            train_loader.set_epoch(epoch)
-            train_hist = []
-            for batch in train_loader:
-                state, logs = self._train_step(state, _array_batch(batch))
-                train_hist.append(logs)
-            tr = _epoch_reduce(train_hist)
-            if profiling:
-                jax.profiler.stop_trace()
-                profiling = False
+                improved = vl["loss"] < best_val_loss
+                if improved:
+                    best_val_loss, wait = vl["loss"], 0
+                else:
+                    wait += 1
+                best_val_dice = max(best_val_dice, vl["dice"])
 
-            val_hist = [self._eval_step(state, _array_batch(b)) for b in val_loader]
-            vl = _epoch_reduce(val_hist)
-
-            metrics = {
-                "epoch": epoch,
-                "tr_loss": tr["loss"],
-                "tr_acc": tr["acc"],
-                "tr_dice": tr["dice"],
-                "tr_pos_iou": tr["pos_iou"],
-                "val_loss": vl["loss"],
-                "val_acc": vl["acc"],
-                "val_dice": vl["dice"],
-                "val_pos_iou": vl["pos_iou"],
-                "lr": cfg.learn_rate,
-                "epoch_time": time.time() - t0,
-            }
-            logger.log_metrics(metrics, step=epoch)
-            if progress:
-                print(
-                    f"epoch {epoch:4d}  tr_loss {tr['loss']:.4f}  val_loss {vl['loss']:.4f}  "
-                    f"val_dice {vl['dice']:.4f}  ({metrics['epoch_time']:.1f}s)"
-                )
-
-            improved = vl["loss"] < best_val_loss
-            if improved:
-                best_val_loss, wait = vl["loss"], 0
-            else:
-                wait += 1
-            best_val_dice = max(best_val_dice, vl["dice"])
-
-            any_best = vl["loss"] <= ckpt.best_val_loss or vl["dice"] >= ckpt.best_val_dice
-            if orbax is not None:
-                # sharded per-epoch save; device buffers are snapshotted to
-                # host synchronously inside save(), so donation next epoch
-                # is safe even with async disk writes
-                orbax.save(
-                    epoch,
-                    {
-                        "state": _state_ckpt_view(state),
+                any_best = vl["loss"] <= ckpt.best_val_loss or vl["dice"] >= ckpt.best_val_dice
+                if orbax is not None:
+                    # sharded per-epoch save; device buffers are snapshotted to
+                    # host synchronously inside save(), so donation next epoch
+                    # is safe even with async disk writes
+                    orbax.save(
+                        epoch,
+                        {
+                            "state": _state_ckpt_view(state),
+                            "epoch": epoch,
+                            "wait": wait,
+                            "best_val_loss": best_val_loss,
+                            "best_val_dice": best_val_dice,
+                        },
+                    )
+                if orbax is None or any_best:
+                    host_state = jax.device_get(_state_ckpt_view(state))
+                    payload = {
+                        "state": host_state,
                         "epoch": epoch,
                         "wait": wait,
                         "best_val_loss": best_val_loss,
                         "best_val_dice": best_val_dice,
-                    },
-                )
-            if orbax is None or any_best:
-                host_state = jax.device_get(_state_ckpt_view(state))
-                payload = {
-                    "state": host_state,
-                    "epoch": epoch,
-                    "wait": wait,
-                    "best_val_loss": best_val_loss,
-                    "best_val_dice": best_val_dice,
-                }
-                weights_only = {
-                    "params": host_state["params"],
-                    "batch_stats": host_state["batch_stats"],
-                }
-                ckpt.step(epoch, vl["loss"], vl["dice"], payload, weights_only)
+                    }
+                    weights_only = {
+                        "params": host_state["params"],
+                        "batch_stats": host_state["batch_stats"],
+                    }
+                    ckpt.step(epoch, vl["loss"], vl["dice"], payload, weights_only)
 
-            if wait >= cfg.overall:  # EarlyStopping('val_loss', patience=...)
-                stopped = True
-                if progress:
-                    print(f"Early stopping at epoch {epoch} (patience {cfg.overall})")
-                break
+                if wait >= cfg.overall:  # EarlyStopping('val_loss', patience=...)
+                    stopped = True
+                    if progress:
+                        print(f"Early stopping at epoch {epoch} (patience {cfg.overall})")
+                    break
 
-        if orbax is not None:
-            orbax.close()  # drain pending async writes before returning
-        logger.close()  # writes the offline Comet archive when enabled
-        if getattr(train_loader, "image_pad_spec", None) is not None:
-            # The ingest spec is a train-step-only contract; a loader reused
-            # for predict()/eval after fit() must yield logical cubes again
-            # (the plain model would reject 256-lane pre-padded images with a
-            # misleading channel-count error).
-            train_loader.image_pad_spec = None
-        return FitResult(
-            epochs_run=epoch - start_epoch + 1,
-            best_val_loss=best_val_loss,
-            best_val_dice=best_val_dice,
-            stopped_early=stopped,
-            state=state,
-        )
+            return FitResult(
+                epochs_run=epoch - start_epoch + 1,
+                best_val_loss=best_val_loss,
+                best_val_dice=best_val_dice,
+                stopped_early=stopped,
+                state=state,
+            )
+        finally:
+            if orbax is not None:
+                orbax.close()  # drain pending async writes
+            logger.close()  # writes the offline Comet archive when enabled
+            if getattr(train_loader, "image_pad_spec", None) is not None:
+                # train-step-only contract: a loader reused for predict()/eval
+                # must yield logical cubes again (the plain model would reject
+                # 256-lane pre-padded images with a misleading channel error).
+                train_loader.image_pad_spec = None
 
     # -- predict -----------------------------------------------------------
 

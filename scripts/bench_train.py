@@ -200,7 +200,7 @@ def main():
     variant = ""
     if args.chunks:
         variant += f", chunks={args.chunks}"
-    if args.offload:
+    if remat_policy is not None:  # only when the offload policy actually applied
         variant += ", offload"
     result = {
         "metric": f"{args.model} train step ({args.batch}x{h}x{w}x{channels}, {args.precision}{variant})",

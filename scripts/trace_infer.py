@@ -110,21 +110,23 @@ def main():
         def body(carry, k):
             x = jax.lax.dynamic_index_in_dim(xs, (start + k) % n_staged, 0)
             y = model.apply(variables, x, train=False)
-            return carry + jnp.sum(y.astype(jnp.float32)), None
+            # keep in lockstep with bench.py's body: squeeze the size-1
+            # channel before reducing (the raw (1,H,W,1) reduce runs at a
+            # pathological 100 GiB/s and would pollute the roofline table)
+            return carry + jnp.sum(y[..., 0].astype(jnp.float32)), None
 
         acc, _ = jax.lax.scan(body, 0.0, jnp.arange(args.steps))
         return acc
 
-    sds = lambda t: jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
-    compiled = run.lower(sds(variables), sds(xs),
-                         jax.ShapeDtypeStruct((), jnp.int32)).compile()
-    fmt_vars, fmt_xs, _ = compiled.input_formats[0]
-    variables = jax.device_put(variables, fmt_vars)
-    xs = jax.device_put(xs, fmt_xs)
-    float(compiled(variables, xs, jnp.asarray(0, jnp.int32)))  # warm
+    from hyperpri_tpu.utils.staging import compile_with_auto_formats, stage_in_formats
+
+    start0 = jnp.zeros((), jnp.int32)
+    compiled, fmts = compile_with_auto_formats(run, variables, xs, start0)
+    variables, xs, start0 = stage_in_formats((variables, xs, start0), fmts)
+    float(compiled(variables, xs, start0))  # warm
     tdir = tempfile.mkdtemp(prefix="jaxtrace_")
     jax.profiler.start_trace(tdir)
-    float(compiled(variables, xs, jnp.asarray(1, jnp.int32)))
+    float(compiled(variables, xs, start0))
     jax.profiler.stop_trace()
     xspaces = glob.glob(os.path.join(tdir, "**", "*.xplane.pb"), recursive=True)
     print_hlo_table(xspaces, args.steps, args.top, args.out)
