@@ -37,9 +37,16 @@ BN_EPS = 1e-5
 # the wiring predicate can never drift from the route the conv actually takes.
 from hyperpri_tpu.ops.pallas.conv_train import _PACKED_LS as PACKED_MAX_O
 
+import os as _os
+
 PALLAS_MIN_PIXELS = 30_000
 PALLAS_MIN_CHANNELS = 32
-PALLAS_MAX_CHANNELS = 256
+# Deep-tile cutoff for the trainable Pallas route. 256 is the r2-measured
+# optimum (512 was neutral then); env-tunable so the balance can be re-probed
+# as the rest of the step gets faster (r5: the 152x242 256<->512 convs sit at
+# 57 TF/s in XLA's transposed layouts while the halo kernel reached 99 TF/s
+# at 76x121x512 per-op).
+PALLAS_MAX_CHANNELS = int(_os.environ.get("HYPERPRI_PALLAS_MAX_CHANNELS", "256"))
 
 
 def _packed_train_route(h, w, c, o, pallas_train, train, spatial_mesh,

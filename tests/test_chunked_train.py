@@ -183,6 +183,31 @@ def test_chunked_per_image_vs_live_torch_batch2():
     assert out["bn_running_dev_max"] < 5e-3, out
 
 
+def test_chunked_with_offload_policy_matches_chunked():
+    """Composition: the chunked step with the offload remat policy wrapped
+    around each chunk's loss must equal the plain chunked step (offload moves
+    residual bytes; recompute re-runs the same ops). This is the
+    `--chunks N --offload` CLI combination."""
+    state_p, batch = _setup()
+    state_o, _ = _setup(offload=True)
+    try:
+        p_off, bs_off, loss_off, _ = _run(
+            state_o, batch,
+            make_chunked_train_step(0.5, n_chunks=4,
+                                    remat_policy=spectral_offload_policy()),
+        )
+    except Exception as e:  # pragma: no cover - backend capability gate
+        if jax.default_backend() != "tpu":
+            pytest.skip(f"host-offload unsupported on {jax.default_backend()}: {e}")
+        raise
+    p_ref, bs_ref, loss_ref, _ = _run(
+        state_p, batch, make_chunked_train_step(0.5, n_chunks=4)
+    )
+    assert loss_off == pytest.approx(loss_ref, rel=1e-6)
+    assert _max_dev(p_off, p_ref) < 2e-6
+    assert _max_dev(bs_off, bs_ref) < 2e-6
+
+
 def test_offload_policy_matches_plain():
     """SpectralUNET offload=True + the trainer's offload remat policy must be
     numerically identical to the plain step (offload moves residual bytes to
