@@ -47,6 +47,11 @@ def main():
                         "FULL paper protocol (batch 2, 608x700, bn_feats=1650 "
                         "— the reference needed >=2 GPUs + ZeRO-2, "
                         "README.md:67-68) trains on ONE chip")
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=None,
+                   help="SpectralUNET block remat (default: on). With --chunks "
+                        ">= 8 only one chunk's residuals are live at a time, so "
+                        "--no-remat can trade ~3.5 GB of HBM for the ~33% "
+                        "backward recompute")
     p.add_argument("--chunks", type=int, default=0,
                    help="chunked-pixel gradient accumulation "
                         "(train/chunked.py): BN stats per chunk — at "
@@ -79,7 +84,11 @@ def main():
         # Without --offload, single-chip also needs batch 1 or a narrower
         # crop; --offload runs the full batch-2 (608,700) paper protocol on
         # one chip (residuals in pinned host memory).
-        cfg.remat = True
+        # default: remat on for the unchunked step (residuals exceed HBM at
+        # full res), OFF when chunking — one chunk's residuals fit (~3.5 GB
+        # at 8 chunks) and skipping the backward recompute measures
+        # 1563 -> 1191 ms/step at the paper protocol (BENCHMARKS.md)
+        cfg.remat = (args.chunks == 0) if args.remat is None else args.remat
         cfg.offload = args.offload
         args.width = args.spectral_crop or 700
     h, w = args.height, args.width
