@@ -75,8 +75,9 @@ def measure_tpu(k_lo: int = 10, k_hi: int = 30, n_runs: int = 3) -> float:
     #          (79.5 cubes/s under the r5 AUTO-layout staging; XLA's
     #          pure-forward conv+BN+ReLU fusion).
     #   fold_xla: BatchNorm folded into conv weights (ops/fold_bn.py) — a
-    #          numerically identical serving graph; measures 58.9 (folding
-    #          alone buys nothing: XLA already fuses eval BN).
+    #          numerically identical serving graph; measures 78.6 under the
+    #          r5 staged protocol vs 78.6-79.5 xla (folding alone buys
+    #          nothing: XLA already fuses eval BN into the conv fusions).
     #   fold  : folded BN + tap-packed Pallas kernels at the per-op winning
     #          shapes — measures 38.7: the kernels win in isolation (7.2 vs
     #          10.9 ms on the first conv) but lose in-graph (composition
