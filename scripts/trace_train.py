@@ -27,6 +27,10 @@ def main():
     p.add_argument("--steps", type=int, default=4)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--model", default="CubeNET", choices=["CubeNET", "SpectralUNET"])
+    p.add_argument("--chunks", type=int, default=0,
+                   help="SpectralUNET: trace the chunked grad-accum step "
+                        "(train/chunked.py) at 608x700 instead of the plain one")
     p.add_argument("--infer", action="store_true", help="trace inference instead")
     p.add_argument("--pallas-train", action=argparse.BooleanOptionalAction, default=None)
     p.add_argument("--out", default=None, help="save full hlo_stats CSV here")
@@ -40,21 +44,23 @@ def main():
     from hyperpri_tpu.train.trainer import create_train_state, make_train_step
 
     cfg = ExpHyperspectralPRI(calling_path=".")
-    cfg.model_name = "CubeNET"
+    cfg.model_name = args.model
     cfg.precision = "bf16"
     if args.pallas_train is not None:
         cfg.pallas_train = args.pallas_train
+    if args.model == "SpectralUNET":
+        cfg.remat = args.chunks == 0  # chunking replaces remat (BENCHMARKS.md)
     channels = cfg.channels
     model = cfg.get_network()
     state = create_train_state(cfg, model, np.zeros((1, 64, 64, channels), np.float32), seed=0)
 
-    b, h, w = args.batch, 608, 968
+    b, h, w = args.batch, 608, 968 if args.model == "CubeNET" else 700
     K = args.steps
 
     # Host pre-padded ingest when the route supports it (production trainer
     # wiring; see scripts/bench_train.py) — trace the graph users actually run.
     ingest_spec = None
-    if not args.infer:
+    if not args.infer and args.model == "CubeNET":
         from hyperpri_tpu.models.parts import first_conv_ingest_spec
 
         ingest_spec = first_conv_ingest_spec(
@@ -62,7 +68,12 @@ def main():
             pallas_train=cfg.pallas_train, train=True, spatial_mesh=None,
         )
     apply_fn = model.clone(ingest_hw=(h, w)).apply if ingest_spec is not None else None
-    train_step = make_train_step(cfg.threshold, apply_fn=apply_fn)
+    if args.chunks:
+        from hyperpri_tpu.train.chunked import make_chunked_train_step
+
+        train_step = make_chunked_train_step(cfg.threshold, n_chunks=args.chunks)
+    else:
+        train_step = make_train_step(cfg.threshold, apply_fn=apply_fn)
 
     # Same input staging as scripts/bench_train.py: a base batch staged
     # outside the step, varied per step by an in-place 8-row noise band
