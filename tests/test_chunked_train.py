@@ -183,6 +183,46 @@ def test_chunked_per_image_vs_live_torch_batch2():
     assert out["bn_running_dev_max"] < 5e-3, out
 
 
+def test_trainer_fit_with_chunked_step(tmp_path):
+    """Trainer-level wiring: cfg.grad_accum_chunks routes fit() through the
+    chunked step while eval stays on the plain step; two epochs on synthetic
+    data must produce finite losses end to end (train -> val each epoch)."""
+    from hyperpri_tpu.data.synthetic import make_experiment_tree
+    from hyperpri_tpu.train import train_net
+
+    workdir = str(tmp_path)
+    make_experiment_tree(workdir, n_boxes=3, dates_per_box=2,
+                         size_hw=(16, 24), bands=20)
+    cfg = ExpHyperspectralPRI(calling_path=workdir, split_no=1)
+    cfg.model_name = "SpectralUNET"
+    cfg.hsi_lo, cfg.hsi_hi = 0, 6
+    cfg.channels = 6
+    cfg.spectral_bn_size = 8
+    cfg.grad_accum_chunks = 2
+    cfg.epochs = 2
+    cfg._refresh_paths()
+    trainer = train_net(cfg, checkpoint=False, progress=False)
+    assert trainer.fit_result.epochs_run == 2
+    assert np.isfinite(trainer.fit_result.best_val_loss)
+
+
+def test_trainer_rejects_chunked_for_spatial_models():
+    from hyperpri_tpu.train.trainer import Trainer
+
+    cfg = ExpHyperspectralPRI(calling_path=".")
+    cfg.model_name = "CubeNET"
+    cfg.hsi_lo, cfg.hsi_hi = 0, 6
+    cfg.channels = 6
+    cfg.cube_featmaps = 8
+    cfg.grad_accum_chunks = 2
+    trainer = Trainer(cfg)
+    state = create_train_state(
+        cfg, trainer.model, jnp.zeros((1, 32, 32, 6)), seed=0
+    )
+    with pytest.raises(ValueError, match="per-pixel"):
+        trainer._compile_steps(state)
+
+
 def test_chunked_with_offload_policy_matches_chunked():
     """Composition: the chunked step with the offload remat policy wrapped
     around each chunk's loss must equal the plain chunked step (offload moves
